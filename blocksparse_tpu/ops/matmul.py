@@ -1,0 +1,589 @@
+"""Layout-driven block-sparse matrix multiply.
+
+TPU-native equivalent of the reference's ``BlocksparseMatMul``
+(/root/reference/blocksparse/matmul.py:74-527) and ``SparseProj``
+(matmul.py:835-921).
+
+Differences by design (see SURVEY.md §7):
+* LUT segmenting + spin locks (matmul.py:172-270) are replaced by the
+  sequential-grid step schedule in ``kernels/bsmm.py``.
+* ``group_param_grads``'s graph rewrite is unnecessary under JAX: RNN
+  weight grads accumulate through ``jax.lax.scan`` automatically; the
+  function is kept as a documented no-op shim.
+* Gating is folded into the custom VJP instead of separate DG ops.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sparse
+import jax
+import jax.numpy as jnp
+
+from blocksparse_tpu.utils import ceil_div, z_order_2d, round_up
+from blocksparse_tpu.kernels import bsmm as bsmm_kernels
+from blocksparse_tpu.kernels.bsmm import (
+    XpropSchedule, build_xprop_schedule, CONTRACT,
+)
+
+
+def _default_impl():
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def largest_block(dim):
+    for blk in (32, 16, 8):
+        if dim % blk == 0:
+            return (blk, dim // blk)
+    raise ValueError("dimension not multiple of 8, 16, or 32")
+
+
+class BlocksparseMatMul:
+    """Block-sparse matmul op object.
+
+    layout: 2-D 0/1 array (CB, KB) of nonzero blocks.
+    block_size: 8, 16, 32 or 64 (the reference restricts per axis,
+        matmul.py:82-89; the TPU kernels support all sizes on both axes).
+    feature_axis: 0 => activations are (C, N) feature-major ("CN", the fast
+        path on TPU: batch lanes stay full); 1 => (N, C).
+    """
+
+    def __getstate__(self):
+        return (self.layout, self.bsize, self.axis, self.z_order, self.name)
+
+    def __setstate__(self, state):
+        self.__init__(*state)
+
+    def __init__(self, layout, block_size=32, feature_axis=0, z_order=True,
+                 name=None, impl=None, tile_n=None):
+        if block_size not in (8, 16, 32, 64):
+            raise ValueError("Unsupported block size: %d" % block_size)
+        self.axis = feature_axis
+        self.bsize = block_size
+        self.z_order = z_order
+        self.impl = impl
+        self.tile_n = tile_n
+
+        assert len(layout.shape) == 2
+        CB, KB = layout.shape
+        layout = np.asarray(layout)
+        if layout.dtype != np.int32:
+            layout = (layout != 0).astype(np.int32)
+
+        csr = sparse.csr_matrix(layout)
+        cs, ks, _ = sparse.find(csr)
+        blocks = len(cs)
+        if blocks == 0:
+            raise ValueError("empty layout")
+
+        # Assign block ids: z-order for weight-storage locality (parity with
+        # reference matmul.py:119-127), else row-major (c, k).
+        coords = list(zip(cs.tolist(), ks.tolist()))
+        if z_order:
+            order = sorted(range(blocks),
+                           key=lambda i: z_order_2d(coords[i][0], coords[i][1]))
+        else:
+            order = sorted(range(blocks), key=lambda i: coords[i])
+        updat_list = [coords[i] for i in order]
+
+        self.updat_list = updat_list
+        self.updat_lut = np.array(updat_list, dtype=np.int32)
+
+        # entries grouped by output block: fprop by k, bprop by c
+        fprop_rows = [[] for _ in range(KB)]
+        bprop_rows = [[] for _ in range(CB)]
+        for w, (c, k) in enumerate(updat_list):
+            fprop_rows[k].append((c, w))
+            bprop_rows[c].append((k, w))
+        # sort entries within each row for deterministic accumulation order
+        for r in fprop_rows:
+            r.sort()
+        for r in bprop_rows:
+            r.sort()
+
+        self.fprop_list = [(k, lut) for k, lut in enumerate(fprop_rows)]
+        self.bprop_list = [(c, lut) for c, lut in enumerate(bprop_rows)]
+
+        G = max(1, CONTRACT // block_size)
+        self.G = G
+        self.fprop_sched = build_xprop_schedule(fprop_rows, KB, G)
+        self.bprop_sched = build_xprop_schedule(bprop_rows, CB, G)
+
+        # flat sorted entry arrays for the XLA fallback impl
+        def _flat(rows):
+            ib, wb, ob = [], [], []
+            for r, lut in enumerate(rows):
+                for (i, w) in lut:
+                    ib.append(i)
+                    wb.append(w)
+                    ob.append(r)
+            return (np.array(ib, np.int32), np.array(wb, np.int32),
+                    np.array(ob, np.int32))
+
+        self._fprop_flat = _flat(fprop_rows)
+        self._bprop_flat = _flat(bprop_rows)
+
+        # kb id of each block (for l2_normalize / column reductions)
+        self._block_kb = np.array([k for _, k in updat_list], dtype=np.int32)
+        self._block_cb = np.array([c for c, _ in updat_list], dtype=np.int32)
+
+        self.name = name or "BlocksparseMatMul"
+        self.blocks = blocks
+        self.flops = blocks * block_size * block_size * 2
+        self.w_shape = (blocks, block_size, block_size)
+        self.g_shape = (blocks,)
+        self.CB, self.KB = CB, KB
+        self.C = CB * block_size
+        self.K = KB * block_size
+        self.count = 0
+        self.sparsity = round(float(blocks) / float(CB * KB), 3)
+        self.layout = layout > 0
+
+    # ---------------- shapes / coords ----------------
+
+    def i_shape(self, N):
+        return (N, self.C) if self.axis else (self.C, N)
+
+    def o_shape(self, N):
+        return (N, self.K) if self.axis else (self.K, N)
+
+    def block_coord(self, block):
+        return self.updat_list[block]
+
+    # ---------------- initializers ----------------
+
+    def ortho_init(self):
+        def _initializer(shape=None, dtype=np.float32, key=None):
+            W = np.empty(self.w_shape, dtype=dtype)
+            bsize = self.bsize
+            if self.sparsity < 1.0:
+                for k, lut in self.fprop_list:
+                    if not lut:
+                        continue
+                    shp = (len(lut) * bsize, bsize)
+                    a = np.random.normal(0.0, 1.0, shp).astype(dtype)
+                    u, _, v = np.linalg.svd(a, full_matrices=False)
+                    if u.shape != shp:
+                        u = v
+                    for i, (c, w) in enumerate(lut):
+                        W[w, :, :] = u[i * bsize:(i + 1) * bsize, :]
+            else:
+                shp = (self.C, self.K)
+                a = np.random.normal(0.0, 1.0, shp).astype(dtype)
+                u, _, v = np.linalg.svd(a, full_matrices=False)
+                if u.shape != shp:
+                    u = v
+                for w, (c, k) in enumerate(self.updat_list):
+                    W[w, :, :] = u[c * bsize:(c + 1) * bsize,
+                                   k * bsize:(k + 1) * bsize]
+            return W
+        return _initializer
+
+    def identity_init(self, scale=1.0):
+        def _initializer(shape=None, dtype=np.float32, key=None):
+            W = np.zeros(self.w_shape, dtype=dtype)
+            for w in range(self.blocks):
+                cb, kb = self.updat_list[w]
+                if (cb % self.KB) == (kb % self.CB):
+                    W[w] = np.eye(self.bsize, dtype=dtype) * scale
+            return W
+        return _initializer
+
+    def checker_init(self):
+        def _initializer(shape=None, dtype=np.float32, key=None):
+            gate = np.empty(self.blocks, dtype=dtype)
+            for w, (c, k) in enumerate(self.updat_list):
+                gate[w] = (c & 1) ^ (k & 1) ^ 1
+            return gate
+        return _initializer
+
+    def prune(self, param, gate):
+        """Drop blocks whose gate is zero; returns (new_param, new_gate).
+
+        Host-side utility (reference matmul.py:272-290).  The caller builds a
+        new BlocksparseMatMul from self.layout afterwards.
+        """
+        param = np.asarray(param)
+        gate = np.asarray(gate)
+        new_blocks = int(np.sum(gate != 0.0))
+        if new_blocks != self.blocks:
+            new_param = np.empty((new_blocks, self.bsize, self.bsize),
+                                 dtype=param.dtype)
+            new_w = 0
+            layout = self.layout
+            for w, (c, k) in enumerate(self.updat_list):
+                if gate[w] == 0.0:
+                    layout[c, k] = False
+                else:
+                    new_param[new_w] = param[w]
+                    new_w += 1
+        else:
+            new_param = param
+        return new_param, np.ones((new_blocks,), dtype=gate.dtype)
+
+    # ---------------- NumPy goldens (the spec; parity with reference) -------
+
+    def fprop_test(self, I, W, gate=None):
+        bsize = self.bsize
+        if self.axis:
+            O = np.zeros((I.shape[0], self.KB, bsize))
+            I = I.reshape((-1, self.CB, bsize))
+            for k, lut in self.fprop_list:
+                for c, w in lut:
+                    g = 1.0 if gate is None else gate[w]
+                    if g != 0.0:
+                        O[:, k, :] += np.dot(I[:, c, :], W[w]) * g
+            return O.reshape(I.shape[0], -1)
+        else:
+            N = I[0].size
+            O = np.zeros((self.KB, bsize, N))
+            I = I.reshape((self.CB, bsize, N))
+            for k, lut in self.fprop_list:
+                for c, w in lut:
+                    g = 1.0 if gate is None else gate[w]
+                    if g != 0.0:
+                        O[k, :, :] += np.dot(W[w].T, I[c, :, :]) * g
+            return O.reshape(-1, N)
+
+    def bprop_test(self, E, W, gate=None):
+        bsize = self.bsize
+        if self.axis:
+            B = np.zeros((E.shape[0], self.CB, bsize))
+            E = E.reshape((-1, self.KB, bsize))
+            for c, lut in self.bprop_list:
+                for k, w in lut:
+                    g = 1.0 if gate is None else gate[w]
+                    if g != 0.0:
+                        B[:, c, :] += np.dot(E[:, k, :], W[w].T) * g
+            return B.reshape(E.shape[0], -1)
+        else:
+            N = E[0].size
+            B = np.zeros((self.CB, bsize, N))
+            E = E.reshape((self.KB, bsize, N))
+            for c, lut in self.bprop_list:
+                for k, w in lut:
+                    g = 1.0 if gate is None else gate[w]
+                    if g != 0.0:
+                        B[c, :, :] += np.dot(W[w], E[k, :, :]) * g
+            return B.reshape(-1, N)
+
+    def updat_test(self, I, E, gate=None, dw_gated=False):
+        U = np.zeros(self.w_shape)
+        bsize = self.bsize
+        if self.axis:
+            I = I.reshape((-1, self.CB, bsize))
+            E = E.reshape((-1, self.KB, bsize))
+            for w, (c, k) in enumerate(self.updat_list):
+                g = gate[w] if (dw_gated and gate is not None) else 1.0
+                if g != 0.0:
+                    U[w] = np.dot(I[:, c, :].T, E[:, k, :]) * g
+        else:
+            I = I.reshape((self.CB, bsize, -1))
+            E = E.reshape((self.KB, bsize, -1))
+            for w, (c, k) in enumerate(self.updat_list):
+                g = gate[w] if (dw_gated and gate is not None) else 1.0
+                if g != 0.0:
+                    U[w] = np.dot(I[c], E[k].T) * g
+        return U
+
+    def l2_normalize_test(self, W, epsilon=1e-12):
+        W = np.array(W, copy=True)
+        for k, lut in self.fprop_list:
+            ws = [w for c, w in lut]
+            if not ws:
+                continue
+            W2 = W[ws].reshape(-1, self.bsize)
+            norm = np.sqrt(np.maximum(
+                np.sum(np.square(W2), axis=0, keepdims=True), epsilon))
+            for w in ws:
+                W[w] /= norm
+        return W
+
+    def l2_normalize_grad_test(self, W, U, epsilon=1e-12):
+        U = np.array(U, copy=True)
+        for k, lut in self.fprop_list:
+            ws = [w for c, w in lut]
+            if not ws:
+                continue
+            W2 = W[ws].reshape(-1, self.bsize)
+            U2 = U[ws].reshape(-1, self.bsize)
+            sum_sqr_w = np.sum(np.square(W2), axis=0, keepdims=True)
+            max_w = np.maximum(sum_sqr_w, epsilon)
+            norm_grad = (U2 + W2 * (sum_sqr_w >= epsilon)
+                         * np.sum(-U2 * W2 / max_w, axis=0, keepdims=True)
+                         ) / np.sqrt(max_w)
+            norm_grad = norm_grad.reshape(-1, self.bsize, self.bsize)
+            for i, w in enumerate(ws):
+                U[w] = norm_grad[i]
+        return U
+
+    # ---------------- device ops ----------------
+
+    def l2_normalize(self, W, gain=None, epsilon=1e-12, dtype=None):
+        """Joint L2 normalization of each layout block-column.
+
+        XLA-level: a segment-sum over blocks grouped by kb; AD through this
+        matches the reference L2NormalizeGradCK math
+        (/root/reference/src/blocksparse_l2_norm_op_gpu.cu)."""
+        kb = jnp.asarray(self._block_kb)
+        sq = jnp.sum(jnp.square(W.astype(jnp.float32)), axis=1)  # (blocks, bsize)
+        ssq = jax.ops.segment_sum(sq, kb, num_segments=self.KB)  # (KB, bsize)
+        norm = jnp.sqrt(jnp.maximum(ssq, epsilon))
+        Wn = W.astype(jnp.float32) / norm[kb][:, None, :]
+        if gain is not None:
+            g = gain.reshape(self.KB, self.bsize).astype(jnp.float32)
+            Wn = Wn * g[kb][:, None, :]
+        return Wn.astype(dtype or W.dtype)
+
+    def _pallas_pad(self, x, axis_is_last):
+        """Pad the batch dim so a clean lane tile exists."""
+        n = x.shape[1] if axis_is_last else x.shape[0]
+        if n % 8 == 0:
+            return x, n
+        n_pad = round_up(n, 64 if n > 32 else 8)
+        pads = ((0, 0), (0, n_pad - n)) if axis_is_last else ((0, n_pad - n), (0, 0))
+        return jnp.pad(x, pads), n
+
+    def _fprop_impl(self, x, w):
+        """Mosaic requires the minor block dim be lane-sized, so the Pallas
+        path always runs feature-major (CN); axis=1 transposes around it
+        (XLA fuses these with neighbors where possible)."""
+        impl = self.impl or _default_impl()
+        if impl == "pallas":
+            xcn = x if self.axis == 0 else x.T
+            xp, n0 = self._pallas_pad(xcn, True)
+            y = bsmm_kernels.xprop_pallas(
+                xp, w, self.fprop_sched, self.bsize, False, self.KB,
+                tile_n=self.tile_n)
+            y = y[:, :n0].astype(x.dtype)
+            return y if self.axis == 0 else y.T
+        ib, wb, ob = self._fprop_flat
+        return bsmm_kernels.xprop_xla(x, w, ib, wb, ob, self.KB, self.bsize,
+                                      self.axis, False, out_dtype=x.dtype)
+
+    def _bprop_impl(self, dy, w):
+        impl = self.impl or _default_impl()
+        if impl == "pallas":
+            dycn = dy if self.axis == 0 else dy.T
+            dyp, n0 = self._pallas_pad(dycn, True)
+            dx = bsmm_kernels.xprop_pallas(
+                dyp, w, self.bprop_sched, self.bsize, True, self.CB,
+                tile_n=self.tile_n)
+            dx = dx[:, :n0].astype(dy.dtype)
+            return dx if self.axis == 0 else dx.T
+        ib, wb, ob = self._bprop_flat
+        return bsmm_kernels.xprop_xla(dy, w, ib, wb, ob, self.CB, self.bsize,
+                                      self.axis, True, out_dtype=dy.dtype)
+
+    def _updat_impl(self, x, dy):
+        impl = self.impl or _default_impl()
+        if impl == "pallas":
+            xcn = x if self.axis == 0 else x.T
+            dycn = dy if self.axis == 0 else dy.T
+            xp, _ = self._pallas_pad(xcn, True)
+            dyp, _ = self._pallas_pad(dycn, True)
+            return bsmm_kernels.updat_pallas(xp, dyp, self.updat_lut,
+                                             self.bsize, tile_n=self.tile_n)
+        return bsmm_kernels.updat_xla(x, dy, self.updat_lut, self.bsize,
+                                      self.axis)
+
+    # ---------------- public call ----------------
+
+    def matmul(self, I, W, **kwargs):
+        return self.__call__(I, W, **kwargs)
+
+    def __call__(self, I, W, gate=None, gate_grad=False, dw_gated=False,
+                 name=None, bench=0):
+        self.count += 1
+        x2d, unflatten = self._flatten_io(I, self.C)
+        if gate is None:
+            y = self._bsmm(x2d, W)
+        else:
+            y = self._bsmm_gated(dw_gated, gate_grad)(x2d, W, gate)
+        return unflatten(y)
+
+    def _flatten_io(self, x, feat):
+        """Collapse extra dims around the feature axis; returns (x2d, restore)."""
+        shape = x.shape
+        if self.axis == 0:
+            assert shape[0] == feat, (shape, feat)
+            x2d = x.reshape(feat, -1)
+
+            def restore(y):
+                return y.reshape((y.shape[0],) + tuple(shape[1:]))
+        else:
+            assert shape[-1] == feat, (shape, feat)
+            x2d = x.reshape(-1, feat)
+
+            def restore(y):
+                return y.reshape(tuple(shape[:-1]) + (y.shape[-1],))
+        return x2d, restore
+
+    @functools.cached_property
+    def _bsmm(self):
+        op = self
+
+        @jax.custom_vjp
+        def bsmm(x, w):
+            return op._fprop_impl(x, w)
+
+        def fwd(x, w):
+            return op._fprop_impl(x, w), (x, w)
+
+        def bwd(res, dy):
+            x, w = res
+            dx = op._bprop_impl(dy, w)
+            dw = op._updat_impl(x, dy).astype(w.dtype)
+            return dx.astype(x.dtype), dw
+
+        bsmm.defvjp(fwd, bwd)
+        return bsmm
+
+    def _bsmm_gated(self, dw_gated, gate_grad):
+        key = (bool(dw_gated), bool(gate_grad))
+        cache = getattr(self, "_gated_cache", None)
+        if cache is None:
+            cache = self._gated_cache = {}
+        if key in cache:
+            return cache[key]
+        op = self
+
+        @jax.custom_vjp
+        def bsmm_gated(x, w, gate):
+            wg = (w.astype(jnp.float32)
+                  * gate.astype(jnp.float32)[:, None, None]).astype(w.dtype)
+            return op._fprop_impl(x, wg)
+
+        def fwd(x, w, gate):
+            return bsmm_gated(x, w, gate), (x, w, gate)
+
+        def bwd(res, dy):
+            x, w, gate = res
+            wg = (w.astype(jnp.float32)
+                  * gate.astype(jnp.float32)[:, None, None]).astype(w.dtype)
+            dx = op._bprop_impl(dy, wg).astype(x.dtype)
+            dw_raw = op._updat_impl(x, dy)
+            if dw_gated:
+                dw = dw_raw * gate.astype(jnp.float32)[:, None, None]
+            else:
+                dw = dw_raw
+            if gate_grad:
+                dg = jnp.sum(dw_raw * w.astype(jnp.float32), axis=(1, 2))
+            else:
+                dg = jnp.zeros_like(gate)
+            return dx, dw.astype(w.dtype), dg.astype(gate.dtype)
+
+        bsmm_gated.defvjp(fwd, bwd)
+        cache[key] = bsmm_gated
+        return bsmm_gated
+
+
+# ------------------------------------------------------------------
+# Graph-rewrite shims.  Under JAX, dw accumulation across shared-weight
+# applications (RNN timesteps) happens automatically through scan/AD;
+# these exist for API familiarity.
+# ------------------------------------------------------------------
+
+def group_param_grads(param_grad, group_size=8):
+    """No-op under JAX: grads of shared weights are already accumulated.
+
+    The reference rewrites the TF graph to chain BlocksparseMatmulDW(A) ops
+    (matmul.py:612-731).  With ``jax.lax.scan`` the dw accumulation is the
+    scan carry, which XLA schedules in-place.
+    """
+    return param_grad
+
+
+def get_bsmm_dx_ops(param_grad):
+    raise NotImplementedError(
+        "graph introspection has no JAX equivalent; use jax.grad directly")
+
+
+def block_reduced_full_dw(xs, gs, bsize=32, axis=0, norm="max", scale=1.0):
+    """Block-norm-reduced *full* dw for network growth.
+
+    Reference: BlocksparseReducedDW (src/blocksparse_matmul_op.cc:639),
+    driven by the graph rewrite in matmul.py:556-609.  Here it is a pure
+    function of the activation / grad tensor lists: computes the dense
+    dw = sum_t x_t·g_t^T, then reduces each (bsize, bsize) block to its
+    max-abs or L2 norm, returning a (CB, KB) array used to pick blocks for
+    growing the layout.
+    """
+    assert len(xs) == len(gs)
+    f32 = jnp.float32
+    acc = None
+    for x, g in zip(xs, gs):
+        if axis == 0:
+            d = jnp.einsum("cn,kn->ck", x.astype(f32), g.astype(f32))
+        else:
+            d = jnp.einsum("nc,nk->ck", x.astype(f32), g.astype(f32))
+        acc = d if acc is None else acc + d
+    C, K = acc.shape
+    blk = acc.reshape(C // bsize, bsize, K // bsize, bsize)
+    if norm.lower() == "max":
+        out = jnp.max(jnp.abs(blk), axis=(1, 3))
+    else:
+        out = jnp.sqrt(jnp.sum(jnp.square(blk), axis=(1, 3)))
+    return out * scale
+
+
+# ------------------------------------------------------------------
+# SparseProj: 1-to-1 dense<->sparse feature projections
+# (reference matmul.py:835-921).  Feature-major: x is (nhidden, ...).
+# ------------------------------------------------------------------
+
+class SparseProj:
+
+    def __getstate__(self):
+        return (self.nhidden, self.nproj, self.gather_lut, self.name)
+
+    def __setstate__(self, state):
+        self.__init__(state[0], nproj=None, gather_lut=state[2], name=state[3])
+
+    def __init__(self, nhidden, nproj=None, proj_stride=None, block_size=32,
+                 gather_lut=None, name=None):
+        if gather_lut is None:
+            gather_lut = np.arange(nhidden, dtype=np.int32)
+            if nproj is not None:
+                assert nproj <= nhidden
+                np.random.shuffle(gather_lut)
+                gather_lut = np.sort(gather_lut[0:nproj])
+            elif proj_stride is not None:
+                assert proj_stride <= nhidden
+                gather_max = ((nhidden // proj_stride) // block_size) \
+                    * block_size * proj_stride
+                gather_lut = gather_lut[:gather_max:proj_stride].copy()
+            else:
+                raise ValueError("missing nproj, proj_stride or gather_lut")
+        gather_lut = np.asarray(gather_lut, dtype=np.int32)
+        nproj = gather_lut.size
+
+        scatter_lut = np.full(nhidden, -1, dtype=np.int32)
+        scatter_lut[gather_lut] = np.arange(nproj, dtype=np.int32)
+
+        self.name = name or "SparseProj"
+        self.gather_lut = gather_lut
+        self.scatter_lut = scatter_lut
+        self.nhidden = nhidden
+        self.nproj = nproj
+
+    def gather(self, x):
+        assert x.shape[0] == self.nhidden
+        return jnp.take(x, jnp.asarray(self.gather_lut), axis=0)
+
+    def scatter(self, x):
+        assert x.shape[0] == self.nproj
+        out_shape = (self.nhidden,) + tuple(x.shape[1:])
+        return jnp.zeros(out_shape, x.dtype).at[jnp.asarray(self.gather_lut)].set(x)
+
+    def scatter_add(self, x, y):
+        assert x.shape[0] == self.nhidden
+        assert y.shape[0] == self.nproj
+        return x.at[jnp.asarray(self.gather_lut)].add(y)
+
+    def scatter_mul(self, x, y):
+        assert x.shape[0] == self.nhidden
+        assert y.shape[0] == self.nproj
+        return x.at[jnp.asarray(self.gather_lut)].multiply(y)

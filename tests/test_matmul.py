@@ -1,0 +1,185 @@
+"""BlocksparseMatMul: Pallas (interpret) + XLA impls vs NumPy goldens.
+
+Mirrors the reference test strategy (test/blocksparse_matmul_test.py) with
+hard assertions and per-dtype tolerances.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blocksparse_tpu import BlocksparseMatMul, SparseProj
+
+
+def random_layout(CB, KB, density=0.5, seed=0):
+    rng = np.random.RandomState(seed)
+    layout = (rng.rand(CB, KB) < density).astype(np.int32)
+    # ensure no empty rows/cols so shapes invert cleanly
+    for c in range(CB):
+        if layout[c].sum() == 0:
+            layout[c, rng.randint(KB)] = 1
+    for k in range(KB):
+        if layout[:, k].sum() == 0:
+            layout[rng.randint(CB), k] = 1
+    return layout
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("axis", [0, 1])
+@pytest.mark.parametrize("bsize", [8, 16, 32])
+def test_fprop_bprop_updat(impl, axis, bsize):
+    CB, KB, N = 6, 8, 64
+    layout = random_layout(CB, KB, 0.4, seed=bsize + axis)
+    bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=axis,
+                             impl=impl)
+    C, K = bsmm.C, bsmm.K
+
+    X = np.random.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+
+    # goldens
+    Y_g = bsmm.fprop_test(X, W)
+    DX_g = bsmm.bprop_test(E, W)
+    DW_g = bsmm.updat_test(X, E)
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), grads = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W))
+    DX, DW = grads
+
+    np.testing.assert_allclose(np.asarray(Y), Y_g, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), DX_g, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DW), DW_g, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_bsize64(impl):
+    layout = random_layout(3, 4, 0.6, seed=7)
+    bsmm = BlocksparseMatMul(layout, block_size=64, feature_axis=0, impl=impl)
+    X = np.random.uniform(-1, 1, bsmm.i_shape(64)).astype(np.float32)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    Y = bsmm(jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_gated(axis):
+    layout = random_layout(4, 4, 0.5, seed=3)
+    bsmm = BlocksparseMatMul(layout, block_size=16, feature_axis=axis,
+                             impl="xla")
+    N = 32
+    X = np.random.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    gate = (np.random.rand(bsmm.blocks) > 0.5).astype(np.float32)
+
+    Y_g = bsmm.fprop_test(X, W, gate=gate)
+    DX_g = bsmm.bprop_test(E, W, gate=gate)
+    DW_raw = bsmm.updat_test(X, E)
+    DG_g = (DW_raw * W).sum(axis=(1, 2))
+
+    def loss(x, w, g):
+        y = bsmm(x, w, gate=g, gate_grad=True)
+        return jnp.sum(y * E), y
+
+    (_, Y), grads = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W), jnp.asarray(gate))
+    DX, DW, DG = grads
+
+    np.testing.assert_allclose(np.asarray(Y), Y_g, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), DX_g, rtol=1e-4, atol=1e-4)
+    # gate_grad=True, dw_gated=False -> dw is raw updat
+    np.testing.assert_allclose(np.asarray(DW), DW_raw, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DG), DG_g, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16():
+    layout = random_layout(4, 4, 0.5, seed=5)
+    bsmm = BlocksparseMatMul(layout, block_size=32, feature_axis=0, impl="pallas")
+    N = 64
+    X = np.random.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    Xh = jnp.asarray(X, jnp.bfloat16)
+    Wh = jnp.asarray(W, jnp.bfloat16)
+    Y = bsmm(Xh, Wh)
+    assert Y.dtype == jnp.bfloat16
+    Y_g = bsmm.fprop_test(np.asarray(Xh, np.float32), np.asarray(Wh, np.float32))
+    np.testing.assert_allclose(np.asarray(Y, np.float32), Y_g,
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_l2_normalize():
+    layout = random_layout(4, 5, 0.5, seed=9)
+    bsmm = BlocksparseMatMul(layout, block_size=8, feature_axis=0, impl="xla")
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    U = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+
+    Wn = bsmm.l2_normalize(jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(Wn), bsmm.l2_normalize_test(W),
+                               rtol=1e-5, atol=1e-5)
+
+    # grad parity with the reference's l2_normalize_grad_test
+    _, vjp = jax.vjp(lambda w: bsmm.l2_normalize(w), jnp.asarray(W))
+    (DW,) = vjp(jnp.asarray(U))
+    DW_g = bsmm.l2_normalize_grad_test(W, U.copy())
+    np.testing.assert_allclose(np.asarray(DW), DW_g, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_dim_batch():
+    layout = random_layout(4, 4, 0.5, seed=11)
+    bsmm = BlocksparseMatMul(layout, block_size=16, feature_axis=1, impl="xla")
+    X = np.random.uniform(-1, 1, (2, 8, bsmm.C)).astype(np.float32)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    Y = bsmm(jnp.asarray(X), jnp.asarray(W))
+    assert Y.shape == (2, 8, bsmm.K)
+    Y_g = bsmm.fprop_test(X.reshape(-1, bsmm.C), W)
+    np.testing.assert_allclose(np.asarray(Y).reshape(-1, bsmm.K), Y_g,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_identity_and_checker_init():
+    layout = np.ones((4, 4), np.int32)
+    bsmm = BlocksparseMatMul(layout, block_size=8, feature_axis=0, impl="xla")
+    W = bsmm.identity_init()(None)
+    X = np.random.uniform(-1, 1, bsmm.i_shape(16)).astype(np.float32)
+    Y = bsmm(jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(Y), X, rtol=1e-5, atol=1e-5)
+    g = bsmm.checker_init()(None)
+    assert g.shape == (bsmm.blocks,)
+
+
+def test_sparse_proj():
+    proj = SparseProj(64, nproj=32)
+    x = jnp.asarray(np.random.uniform(-1, 1, (64, 8)).astype(np.float32))
+    y = proj.gather(x)
+    assert y.shape == (32, 8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x)[proj.gather_lut])
+
+    z = proj.scatter(y)
+    assert z.shape == (64, 8)
+    np.testing.assert_allclose(np.asarray(z)[proj.gather_lut], np.asarray(y))
+
+    za = proj.scatter_add(x, y)
+    np.testing.assert_allclose(
+        np.asarray(za)[proj.gather_lut],
+        np.asarray(x)[proj.gather_lut] + np.asarray(y), rtol=1e-6)
+
+    # grads: gather grad is scatter
+    g = jax.grad(lambda x: jnp.sum(proj.gather(x) ** 2))(x)
+    expect = np.zeros_like(np.asarray(x))
+    expect[proj.gather_lut] = 2 * np.asarray(x)[proj.gather_lut]
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-6)
+
+
+def test_pickle_roundtrip():
+    import pickle
+    layout = random_layout(4, 4, 0.5, seed=13)
+    bsmm = BlocksparseMatMul(layout, block_size=32, feature_axis=0)
+    b2 = pickle.loads(pickle.dumps(bsmm))
+    assert b2.blocks == bsmm.blocks
+    assert np.array_equal(b2.updat_lut, bsmm.updat_lut)

@@ -324,3 +324,497 @@ def updat_xla(x, dy, updat_lut, bsize, axis, precision=None):
         yb = dy.reshape(N, -1, bsize)[:, kb]
         return jnp.einsum("nec,nek->eck", xb.astype(f32), yb.astype(f32),
                           precision=prec)
+
+
+# ------------------------------------------------------------------
+# Resident-x variants.  When the full (C, TN) activation stripe fits in
+# VMEM, keep it resident across all schedule steps: the only per-step DMA
+# is the (contract, bsize) weight panel, so steps are no longer
+# DMA-latency bound.  This is the speed-of-light path for the canonical
+# 4096^2 configs (x stripe 1-8 MB).
+# ------------------------------------------------------------------
+
+VMEM_RESIDENT_BUDGET = 6 * 1024 * 1024
+
+
+def choose_contract_blocks(bsize: int, entries_per_row, max_contract=512,
+                           max_waste=0.15) -> int:
+    """Pick G (blocks packed per step) balancing MXU depth vs padding waste.
+
+    Mirrors the role of the reference's column segmenting heuristic
+    (matmul.py:94-105): big fused steps amortize control/DMA overhead, but
+    padding each row to a multiple of G wastes FLOPs at low row degree.
+    """
+    total = sum(max(1, len(r)) for r in entries_per_row)
+    best = max(1, CONTRACT // bsize)
+    for contract in (max_contract, 256, 128):
+        if contract < bsize:
+            continue
+        G = max(1, contract // bsize)
+        padded = sum(max(1, -(-len(r) // G)) * G for r in entries_per_row)
+        waste = (padded - total) / padded
+        if waste <= max_waste:
+            return G
+    return best
+
+
+def _xprop_resident_kernel(G, bsize, trans_w, precision, out_idx_ref,
+                           in_idx_ref, x_ref, w_ref, out_ref):
+    s = pl.program_id(1)
+    prev = out_idx_ref[jnp.maximum(s - 1, 0)]
+    is_first = jnp.logical_or(s == 0, out_idx_ref[s] != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xcat = jnp.concatenate(
+        [x_ref[pl.ds(in_idx_ref[s, i] * bsize, bsize), :] for i in range(G)],
+        axis=0)                                                # (G*b, TN)
+    wcat = w_ref[0]
+    dims = (((1,), (0,)), ((), ())) if trans_w else (((0,), (0,)), ((), ()))
+    out_ref[...] += jax.lax.dot_general(
+        wcat, xcat, dims, preferred_element_type=jnp.float32,
+        precision=precision)
+
+
+def xprop_pallas_resident(x, w, sched: XpropSchedule, bsize: int,
+                          trans_w: bool, out_blocks: int,
+                          tile_n: int | None = None, precision=None):
+    G = sched.G
+    C, N = x.shape
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0, (N, TN)
+    S = sched.num_steps
+    prec = dot_precision(x.dtype, precision)
+
+    w_sched = gather_w_sched(w, sched, trans_w)
+
+    in_specs = [
+        pl.BlockSpec((C, TN), lambda n, s, oi, ii: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w_sched.shape[1:],
+                     lambda n, s, oi, ii: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((bsize, TN), lambda n, s, oi, ii: (oi[s], n),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, S),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    flops = 2 * S * N * bsize * bsize * G
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + (N // TN) * w_sched.size * w_sched.dtype.itemsize
+        + out_blocks * bsize * N * 4,
+        transcendentals=0,
+    )
+    fn = pl.pallas_call(
+        functools.partial(_xprop_resident_kernel, G, bsize, trans_w, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_blocks * bsize, N), jnp.float32),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    return fn(jnp.asarray(sched.out_idx), jnp.asarray(sched.in_idx),
+              x, w_sched)
+
+
+def resident_fits(C, N, itemsize, tile_n=None,
+                  budget=VMEM_RESIDENT_BUDGET) -> bool:
+    TN = tile_n or pick_tile(N)
+    return C * TN * itemsize <= budget
+
+
+# ------------------------------------------------------------------
+# Packed updat: steps of G entries sharing one input block-row cb,
+# emitting a (b, G*b) panel of dw blocks per step (full output lanes).
+# Result is unpacked to (blocks, b, b) with one gather.
+# ------------------------------------------------------------------
+
+@dataclass
+class UpdatSchedule:
+    cb: np.ndarray        # (S,) shared input block-row per step
+    kb: np.ndarray        # (S, G) dy block-rows per slot
+    perm: np.ndarray      # (blocks,) flat (step*G + slot) position per block id
+    G: int
+
+    @property
+    def num_steps(self):
+        return self.cb.shape[0]
+
+
+def build_updat_schedule(updat_list, G: int) -> UpdatSchedule:
+    blocks = len(updat_list)
+    by_cb = {}
+    for w, (c, k) in enumerate(updat_list):
+        by_cb.setdefault(c, []).append((k, w))
+    cb_arr, kb_arr = [], []
+    perm = np.zeros(blocks, np.int64)
+    step = 0
+    for c in sorted(by_cb):
+        ents = sorted(by_cb[c])
+        for s0 in range(0, len(ents), G):
+            chunk = ents[s0:s0 + G]
+            cb_arr.append(c)
+            row_k = []
+            for i in range(G):
+                if i < len(chunk):
+                    k, w = chunk[i]
+                    row_k.append(k)
+                    perm[w] = step * G + i
+                else:
+                    row_k.append(0)
+            kb_arr.append(row_k)
+            step += 1
+    return UpdatSchedule(
+        cb=np.asarray(cb_arr, np.int32),
+        kb=np.asarray(kb_arr, np.int32),
+        perm=perm.astype(np.int32),
+        G=G,
+    )
+
+
+def _updat_packed_kernel(G, bsize, precision, cb_ref, kb_ref, x_ref, dy_ref,
+                         out_ref):
+    n = pl.program_id(1)
+    s = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xblk = x_ref[pl.ds(cb_ref[s] * bsize, bsize), :]           # (b, TN)
+    dycat = jnp.concatenate(
+        [dy_ref[pl.ds(kb_ref[s, i] * bsize, bsize), :] for i in range(G)],
+        axis=0)                                                # (G*b, TN)
+    out_ref[0] += jax.lax.dot_general(
+        xblk, dycat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def updat_pallas_packed(x, dy, sched: UpdatSchedule, bsize: int, blocks: int,
+                        tile_n: int | None = None, precision=None):
+    """x (C, N), dy (K, N) feature-major; returns dw (blocks, b, b) f32."""
+    G = sched.G
+    C, N = x.shape
+    K, _ = dy.shape
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0
+    S = sched.num_steps
+    prec = dot_precision(x.dtype, precision)
+
+    in_specs = [
+        pl.BlockSpec((C, TN), lambda s, n, cb, kb: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, TN), lambda s, n, cb, kb: (0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, bsize, G * bsize),
+                            lambda s, n, cb, kb: (s, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S, N // TN),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * S * G * bsize * bsize * N,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + dy.size * dy.dtype.itemsize + S * bsize * G * bsize * 4,
+        transcendentals=0,
+    )
+    fn = pl.pallas_call(
+        functools.partial(_updat_packed_kernel, G, bsize, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, bsize, G * bsize), jnp.float32),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    packed = fn(jnp.asarray(sched.cb), jnp.asarray(sched.kb), x, dy)
+    flat = packed.reshape(S, bsize, G, bsize).transpose(0, 2, 1, 3) \
+                 .reshape(S * G, bsize, bsize)
+    return flat[jnp.asarray(sched.perm)]
+
+
+# ------------------------------------------------------------------
+# Grouped kernels (the fast path).  One grid step = R output block-rows
+# with their ENTIRE reduction unrolled in-kernel:
+#   * x stripe (C, TN) resident in VMEM across all groups,
+#   * the group's whole weight panel fetched as ONE BlockSpec block
+#     (Mosaic double-buffers it against the previous group's compute),
+#   * CH unrolled chunk-dots of (G*b contraction) each.
+# Grid steps are few and fat, so the ~us fixed cost per step vanishes.
+# Padding chunks carry zeroed weights and are numerically inert.
+# ------------------------------------------------------------------
+
+@dataclass
+class GroupedSchedule:
+    rows: np.ndarray      # (groups, CH) local out-row (0..R-1) per chunk
+    in_idx: np.ndarray    # (groups, CH, G) input block-rows per slot
+    w_idx: np.ndarray     # (groups, CH, G) weight block ids
+    w_valid: np.ndarray   # (groups, CH, G)
+    n_out_blocks: int
+    R: int
+    G: int
+
+    @property
+    def groups(self):
+        return self.rows.shape[0]
+
+    @property
+    def CH(self):
+        return self.rows.shape[1]
+
+
+def build_grouped_schedule(entries_per_row, n_out_blocks: int, G: int,
+                           R: int) -> GroupedSchedule:
+    groups = -(-n_out_blocks // R)
+    per_group = []
+    for g in range(groups):
+        chunks = []
+        for r in range(R):
+            row = g * R + r
+            ents = entries_per_row[row] if row < n_out_blocks else []
+            # every row emits >=1 chunk so empty rows still get zeroed
+            nch = max(1, -(-len(ents) // G))
+            for s in range(nch):
+                chunk = ents[s * G:(s + 1) * G]
+                ii = [chunk[i][0] if i < len(chunk) else 0 for i in range(G)]
+                wi = [chunk[i][1] if i < len(chunk) else 0 for i in range(G)]
+                wv = [1 if i < len(chunk) else 0 for i in range(G)]
+                chunks.append((r, ii, wi, wv))
+        per_group.append(chunks)
+    CH = max(len(c) for c in per_group)
+    rows = np.zeros((groups, CH), np.int32)
+    in_idx = np.zeros((groups, CH, G), np.int32)
+    w_idx = np.zeros((groups, CH, G), np.int32)
+    w_valid = np.zeros((groups, CH, G), np.int32)
+    for g, chunks in enumerate(per_group):
+        for j, (r, ii, wi, wv) in enumerate(chunks):
+            rows[g, j] = r
+            in_idx[g, j] = ii
+            w_idx[g, j] = wi
+            w_valid[g, j] = wv
+        # padding chunks: row 0, all-invalid weights (zeroed -> add nothing)
+    return GroupedSchedule(rows=rows, in_idx=in_idx, w_idx=w_idx,
+                           w_valid=w_valid, n_out_blocks=n_out_blocks,
+                           R=R, G=G)
+
+
+def default_rows_per_group(bsize: int, n_out_blocks: int) -> int:
+    """Aim for a 256-row output tile; clamp to the layout."""
+    R = max(1, 256 // bsize)
+    return min(R, n_out_blocks)
+
+
+def _gather_w_grouped(w, sched: GroupedSchedule, trans_w: bool):
+    S = sched.groups * sched.CH
+    pseudo = XpropSchedule(
+        out_idx=np.zeros(S, np.int32),
+        in_idx=sched.in_idx.reshape(S, sched.G),
+        w_idx=sched.w_idx.reshape(S, sched.G),
+        w_valid=sched.w_valid.reshape(S, sched.G),
+        n_out_blocks=sched.n_out_blocks, G=sched.G)
+    b = w.shape[1]
+    panels = gather_w_sched(w, pseudo, trans_w)   # (S, Gb, b) or (S, b, Gb)
+    if trans_w:
+        return panels.reshape(sched.groups, sched.CH * b, sched.G * b)
+    return panels.reshape(sched.groups, sched.CH * sched.G * b, b)
+
+
+def _xprop_grouped_kernel(CH, G, R, bsize, trans_w, precision,
+                          rows_ref, idx_ref, x_ref, w_ref, out_ref, acc_ref):
+    g = pl.program_id(1)
+    Gb = G * bsize
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for j in range(CH):
+        xcat = jnp.concatenate(
+            [x_ref[pl.ds(idx_ref[g, j, i] * bsize, bsize), :]
+             for i in range(G)], axis=0)                       # (Gb, TN)
+        if trans_w:
+            wch = w_ref[0, j * bsize:(j + 1) * bsize, :]       # (b, Gb)
+            acc = jax.lax.dot_general(
+                wch, xcat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        else:
+            wch = w_ref[0, j * Gb:(j + 1) * Gb, :]             # (Gb, b)
+            acc = jax.lax.dot_general(
+                wch, xcat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        off = rows_ref[g, j] * bsize
+        acc_ref[pl.ds(off, bsize), :] += acc
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def xprop_pallas_grouped(x, w, sched: GroupedSchedule, bsize: int,
+                         trans_w: bool, tile_n: int | None = None,
+                         precision=None, out_dtype=None):
+    C, N = x.shape
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+    R, G, CH = sched.R, sched.G, sched.CH
+    groups = sched.groups
+    out_rows_padded = groups * R
+    out_dtype = out_dtype or x.dtype
+
+    w_panels = _gather_w_grouped(w, sched, trans_w)
+
+    in_specs = [
+        pl.BlockSpec((C, TN), lambda n, g, rr, ii: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w_panels.shape[1:],
+                     lambda n, g, rr, ii: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((R * bsize, TN), lambda n, g, rr, ii: (g, n),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * groups * CH * G * bsize * bsize * N,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + (N // TN) * w_panels.size * w_panels.dtype.itemsize
+        + out_rows_padded * bsize * N * 4,
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, groups),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((R * bsize, TN), jnp.float32)],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_xprop_grouped_kernel, CH, G, R, bsize, trans_w,
+                          prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows_padded * bsize, N),
+                                       out_dtype),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    out = fn(jnp.asarray(sched.rows), jnp.asarray(sched.in_idx), x, w_panels)
+    if out_rows_padded != sched.n_out_blocks:
+        out = out[:sched.n_out_blocks * bsize]
+    return out
+
+
+# ---- grouped updat: grid step = one cb-group, CH chunks of G dw blocks ---
+
+@dataclass
+class UpdatGroupedSchedule:
+    cb: np.ndarray       # (groups, CH) input block-row per chunk
+    kb: np.ndarray       # (groups, CH, G) dy block-rows
+    valid: np.ndarray    # (groups, CH, G)
+    perm: np.ndarray     # (blocks,) flat (g*CH*G + j*G + i) position
+    G: int
+
+    @property
+    def groups(self):
+        return self.cb.shape[0]
+
+    @property
+    def CH(self):
+        return self.cb.shape[1]
+
+
+def build_updat_grouped_schedule(updat_list, G: int,
+                                 chunks_per_group: int = 16) -> UpdatGroupedSchedule:
+    blocks = len(updat_list)
+    by_cb = {}
+    for wid, (c, k) in enumerate(updat_list):
+        by_cb.setdefault(c, []).append((k, wid))
+    # flat chunk list, then fold into groups of chunks_per_group
+    flat = []
+    for c in sorted(by_cb):
+        ents = sorted(by_cb[c])
+        for s0 in range(0, len(ents), G):
+            flat.append((c, ents[s0:s0 + G]))
+    CH = chunks_per_group
+    groups = -(-len(flat) // CH)
+    cb = np.zeros((groups, CH), np.int32)
+    kb = np.zeros((groups, CH, G), np.int32)
+    valid = np.zeros((groups, CH, G), np.int32)
+    perm = np.zeros(blocks, np.int64)
+    for p, (c, chunk) in enumerate(flat):
+        g, j = divmod(p, CH)
+        cb[g, j] = c
+        for i, (k, wid) in enumerate(chunk):
+            kb[g, j, i] = k
+            valid[g, j, i] = 1
+            perm[wid] = (g * CH + j) * G + i
+    return UpdatGroupedSchedule(cb=cb, kb=kb, valid=valid,
+                                perm=perm.astype(np.int32), G=G)
+
+
+def _updat_grouped_kernel(CH, G, bsize, precision, cb_ref, kb_ref,
+                          x_ref, dy_ref, out_ref):
+    g = pl.program_id(0)
+    n = pl.program_id(1)
+    Gb = G * bsize
+
+    @pl.when(n == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for j in range(CH):
+        xblk = x_ref[pl.ds(cb_ref[g, j] * bsize, bsize), :]    # (b, TN)
+        dycat = jnp.concatenate(
+            [dy_ref[pl.ds(kb_ref[g, j, i] * bsize, bsize), :]
+             for i in range(G)], axis=0)                       # (Gb, TN)
+        out_ref[0, j * bsize:(j + 1) * bsize, :] += jax.lax.dot_general(
+            xblk, dycat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+
+def updat_pallas_grouped(x, dy, sched: UpdatGroupedSchedule, bsize: int,
+                         blocks: int, tile_n: int | None = None,
+                         precision=None):
+    """x (C, N), dy (K, N); returns dw (blocks, b, b) f32."""
+    G, CH = sched.G, sched.CH
+    groups = sched.groups
+    C, N = x.shape
+    K, _ = dy.shape
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+
+    in_specs = [
+        pl.BlockSpec((C, TN), lambda g, n, cb, kb: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, TN), lambda g, n, cb, kb: (0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, CH * bsize, G * bsize),
+                            lambda g, n, cb, kb: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(groups, N // TN),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * groups * CH * G * bsize * bsize * N,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + dy.size * dy.dtype.itemsize + groups * CH * bsize * G * bsize * 4,
+        transcendentals=0,
+    )
+    fn = pl.pallas_call(
+        functools.partial(_updat_grouped_kernel, CH, G, bsize, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, CH * bsize, G * bsize),
+                                       jnp.float32),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    packed = fn(jnp.asarray(sched.cb), jnp.asarray(sched.kb), x, dy)
+    flat = packed.reshape(groups * CH, bsize, G, bsize).transpose(0, 2, 1, 3) \
+                 .reshape(groups * CH * G, bsize, bsize)
+    return flat[jnp.asarray(sched.perm)]

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from blocksparse_tpu.utils import ceil_div, z_order_2d, round_up
 from blocksparse_tpu.kernels import bsmm as bsmm_kernels
 from blocksparse_tpu.kernels.bsmm import (
-    XpropSchedule, build_xprop_schedule, CONTRACT,
+    XpropSchedule, build_xprop_schedule, build_updat_schedule,
+    build_grouped_schedule, build_updat_grouped_schedule,
+    default_rows_per_group, choose_contract_blocks, resident_fits, CONTRACT,
 )
 
 
@@ -106,10 +108,19 @@ class BlocksparseMatMul:
         self.fprop_list = [(k, lut) for k, lut in enumerate(fprop_rows)]
         self.bprop_list = [(c, lut) for c, lut in enumerate(bprop_rows)]
 
-        G = max(1, CONTRACT // block_size)
-        self.G = G
-        self.fprop_sched = build_xprop_schedule(fprop_rows, KB, G)
-        self.bprop_sched = build_xprop_schedule(bprop_rows, CB, G)
+        # Adaptive MXU contraction depth per direction (padding waste vs
+        # step amortization; plays the role of reference segment sizing).
+        G_f = choose_contract_blocks(block_size, fprop_rows)
+        G_b = choose_contract_blocks(block_size, bprop_rows)
+        self.G = G_f
+        self.fprop_sched = build_xprop_schedule(fprop_rows, KB, G_f)
+        self.bprop_sched = build_xprop_schedule(bprop_rows, CB, G_b)
+        self.updat_sched = build_updat_schedule(updat_list, G_b)
+        R_f = default_rows_per_group(block_size, KB)
+        R_b = default_rows_per_group(block_size, CB)
+        self.fprop_grouped = build_grouped_schedule(fprop_rows, KB, G_f, R_f)
+        self.bprop_grouped = build_grouped_schedule(bprop_rows, CB, G_b, R_b)
+        self.updat_grouped = build_updat_grouped_schedule(updat_list, G_b)
 
         # flat sorted entry arrays for the XLA fallback impl
         def _flat(rows):
@@ -354,9 +365,15 @@ class BlocksparseMatMul:
         if impl == "pallas":
             xcn = x if self.axis == 0 else x.T
             xp, n0 = self._pallas_pad(xcn, True)
-            y = bsmm_kernels.xprop_pallas(
-                xp, w, self.fprop_sched, self.bsize, False, self.KB,
-                tile_n=self.tile_n)
+            if resident_fits(self.C, xp.shape[1], xp.dtype.itemsize,
+                             self.tile_n):
+                y = bsmm_kernels.xprop_pallas_grouped(
+                    xp, w, self.fprop_grouped, self.bsize, False,
+                    tile_n=self.tile_n, out_dtype=x.dtype)
+            else:
+                y = bsmm_kernels.xprop_pallas(
+                    xp, w, self.fprop_sched, self.bsize, False, self.KB,
+                    tile_n=self.tile_n)
             y = y[:, :n0].astype(x.dtype)
             return y if self.axis == 0 else y.T
         ib, wb, ob = self._fprop_flat
@@ -368,9 +385,15 @@ class BlocksparseMatMul:
         if impl == "pallas":
             dycn = dy if self.axis == 0 else dy.T
             dyp, n0 = self._pallas_pad(dycn, True)
-            dx = bsmm_kernels.xprop_pallas(
-                dyp, w, self.bprop_sched, self.bsize, True, self.CB,
-                tile_n=self.tile_n)
+            if resident_fits(self.K, dyp.shape[1], dyp.dtype.itemsize,
+                             self.tile_n):
+                dx = bsmm_kernels.xprop_pallas_grouped(
+                    dyp, w, self.bprop_grouped, self.bsize, True,
+                    tile_n=self.tile_n, out_dtype=dy.dtype)
+            else:
+                dx = bsmm_kernels.xprop_pallas(
+                    dyp, w, self.bprop_sched, self.bsize, True, self.CB,
+                    tile_n=self.tile_n)
             dx = dx[:, :n0].astype(dy.dtype)
             return dx if self.axis == 0 else dx.T
         ib, wb, ob = self._bprop_flat
@@ -384,6 +407,11 @@ class BlocksparseMatMul:
             dycn = dy if self.axis == 0 else dy.T
             xp, _ = self._pallas_pad(xcn, True)
             dyp, _ = self._pallas_pad(dycn, True)
+            if resident_fits(self.C + self.K, xp.shape[1], xp.dtype.itemsize,
+                             self.tile_n):
+                return bsmm_kernels.updat_pallas_grouped(
+                    xp, dyp, self.updat_grouped, self.bsize, self.blocks,
+                    tile_n=self.tile_n)
             return bsmm_kernels.updat_pallas(xp, dyp, self.updat_lut,
                                              self.bsize, tile_n=self.tile_n)
         return bsmm_kernels.updat_xla(x, dy, self.updat_lut, self.bsize,

@@ -608,10 +608,25 @@ def build_grouped_schedule(entries_per_row, n_out_blocks: int, G: int,
                            R=R, G=G)
 
 
-def default_rows_per_group(bsize: int, n_out_blocks: int) -> int:
-    """Aim for a 256-row output tile; clamp to the layout."""
-    R = max(1, 256 // bsize)
-    return min(R, n_out_blocks)
+def default_rows_per_group(bsize: int, n_out_blocks: int,
+                           avg_entries: float = 8.0,
+                           panel_budget: int = 1536 * 1024) -> int:
+    """Aim for a 256-row output tile, but cap the per-group weight panel
+    (double-buffered in VMEM) at ``panel_budget`` bytes."""
+    R = min(max(1, 256 // bsize), n_out_blocks)
+    while R > 1 and R * avg_entries * bsize * bsize * 4 > panel_budget:
+        R //= 2
+    return R
+
+
+def grouped_vmem_estimate(C, TN, itemsize, sched: GroupedSchedule, bsize,
+                          out_itemsize=4):
+    panel = sched.CH * sched.G * bsize * bsize * itemsize
+    out_tile = sched.R * bsize * TN
+    return (2 * C * TN * itemsize          # x block (conservatively x2)
+            + 2 * panel                    # double-buffered panels
+            + out_tile * (out_itemsize + 4)  # out block + f32 scratch
+            + sched.G * bsize * TN * itemsize)  # xcat temporaries
 
 
 def _gather_w_grouped(w, sched: GroupedSchedule, trans_w: bool):

@@ -27,8 +27,10 @@ from blocksparse_tpu.kernels import bsmm as bsmm_kernels
 from blocksparse_tpu.kernels.bsmm import (
     XpropSchedule, build_xprop_schedule, build_updat_schedule,
     build_grouped_schedule, build_updat_grouped_schedule,
-    default_rows_per_group, choose_contract_blocks, resident_fits, CONTRACT,
+    default_rows_per_group, choose_contract_blocks, resident_fits,
+    grouped_vmem_estimate, CONTRACT,
 )
+from blocksparse_tpu.kernels.common import pick_tile
 
 
 def _default_impl():
@@ -116,8 +118,8 @@ class BlocksparseMatMul:
         self.fprop_sched = build_xprop_schedule(fprop_rows, KB, G_f)
         self.bprop_sched = build_xprop_schedule(bprop_rows, CB, G_b)
         self.updat_sched = build_updat_schedule(updat_list, G_b)
-        R_f = default_rows_per_group(block_size, KB)
-        R_b = default_rows_per_group(block_size, CB)
+        R_f = default_rows_per_group(block_size, KB, blocks / KB)
+        R_b = default_rows_per_group(block_size, CB, blocks / CB)
         self.fprop_grouped = build_grouped_schedule(fprop_rows, KB, G_f, R_f)
         self.bprop_grouped = build_grouped_schedule(bprop_rows, CB, G_b, R_b)
         self.updat_grouped = build_updat_grouped_schedule(updat_list, G_b)
@@ -348,6 +350,17 @@ class BlocksparseMatMul:
             Wn = Wn * g[kb][:, None, :]
         return Wn.astype(dtype or W.dtype)
 
+    def _grouped_tile(self, C_in, sched, n, itemsize, budget=13 * 1024 * 1024):
+        """Pick an N-tile for the grouped kernel that fits VMEM, or None."""
+        TN = self.tile_n or pick_tile(n)
+        while True:
+            est = grouped_vmem_estimate(C_in, TN, itemsize, sched, self.bsize)
+            if est <= budget:
+                return TN
+            if TN % 2 or TN <= 128:
+                return None
+            TN //= 2
+
     def _pallas_pad(self, x, axis_is_last):
         """Pad the batch dim so a clean lane tile exists."""
         n = x.shape[1] if axis_is_last else x.shape[0]
@@ -365,11 +378,12 @@ class BlocksparseMatMul:
         if impl == "pallas":
             xcn = x if self.axis == 0 else x.T
             xp, n0 = self._pallas_pad(xcn, True)
-            if resident_fits(self.C, xp.shape[1], xp.dtype.itemsize,
-                             self.tile_n):
+            TN = self._grouped_tile(self.C, self.fprop_grouped, xp.shape[1],
+                                    xp.dtype.itemsize)
+            if TN is not None:
                 y = bsmm_kernels.xprop_pallas_grouped(
                     xp, w, self.fprop_grouped, self.bsize, False,
-                    tile_n=self.tile_n, out_dtype=x.dtype)
+                    tile_n=TN, out_dtype=x.dtype)
             else:
                 y = bsmm_kernels.xprop_pallas(
                     xp, w, self.fprop_sched, self.bsize, False, self.KB,
@@ -385,11 +399,12 @@ class BlocksparseMatMul:
         if impl == "pallas":
             dycn = dy if self.axis == 0 else dy.T
             dyp, n0 = self._pallas_pad(dycn, True)
-            if resident_fits(self.K, dyp.shape[1], dyp.dtype.itemsize,
-                             self.tile_n):
+            TN = self._grouped_tile(self.K, self.bprop_grouped, dyp.shape[1],
+                                    dyp.dtype.itemsize)
+            if TN is not None:
                 dx = bsmm_kernels.xprop_pallas_grouped(
                     dyp, w, self.bprop_grouped, self.bsize, True,
-                    tile_n=self.tile_n, out_dtype=dy.dtype)
+                    tile_n=TN, out_dtype=dy.dtype)
             else:
                 dx = bsmm_kernels.xprop_pallas(
                     dyp, w, self.bprop_sched, self.bsize, True, self.CB,
@@ -407,11 +422,18 @@ class BlocksparseMatMul:
             dycn = dy if self.axis == 0 else dy.T
             xp, _ = self._pallas_pad(xcn, True)
             dyp, _ = self._pallas_pad(dycn, True)
-            if resident_fits(self.C + self.K, xp.shape[1], xp.dtype.itemsize,
-                             self.tile_n):
+            TN = self.tile_n or pick_tile(xp.shape[1])
+            usch = self.updat_grouped
+            est = (2 * (self.C + self.K) * TN * xp.dtype.itemsize
+                   + 2 * usch.CH * usch.G * self.bsize * self.bsize * 4)
+            while est > 13 * 1024 * 1024 and TN > 128 and TN % 2 == 0:
+                TN //= 2
+                est = (2 * (self.C + self.K) * TN * xp.dtype.itemsize
+                       + 2 * usch.CH * usch.G * self.bsize * self.bsize * 4)
+            if est <= 13 * 1024 * 1024:
                 return bsmm_kernels.updat_pallas_grouped(
                     xp, dyp, self.updat_grouped, self.bsize, self.blocks,
-                    tile_n=self.tile_n)
+                    tile_n=TN)
             return bsmm_kernels.updat_pallas(xp, dyp, self.updat_lut,
                                              self.bsize, tile_n=self.tile_n)
         return bsmm_kernels.updat_xla(x, dy, self.updat_lut, self.bsize,

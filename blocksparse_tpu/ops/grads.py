@@ -1,0 +1,63 @@
+"""Gradient utilities: recompute (checkpointing) and a grad entry point.
+
+TPU-native equivalent of /root/reference/blocksparse/grads.py.  The
+reference reimplements ``tf.gradients`` to control aggregation trees,
+dw-before-dx ordering, and a two-copy recompute graph.  Under JAX/XLA:
+
+* ``@recomputable`` maps to ``jax.checkpoint`` (rematerialization): the
+  recomputed forward runs just-in-time in the backward pass, exactly the
+  behavior the reference builds by hand with control edges
+  (grads.py:17-88).
+* grad aggregation (the add_n8 trees, grads.py:110-129) and op ordering
+  for comm overlap (grads.py:184-194) are XLA-scheduler concerns; the
+  latency-hiding scheduler overlaps collectives with remaining bprop
+  automatically.
+* ``gradients`` is a functional wrapper over ``jax.grad``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+class recomputable:
+    """Decorator: run the wrapped function under jax.checkpoint when
+    called with ``recompute=True`` (kwarg, parity with reference
+    grads.py:17): activations inside are not saved; they are recomputed
+    during the backward pass."""
+
+    def __init__(self, func):
+        functools.update_wrapper(self, func)
+        self.func = func
+
+    def __call__(self, *args, **kwargs):
+        recompute = kwargs.pop("recompute", False)
+        if not recompute:
+            return self.func(*args, **kwargs)
+        f = functools.partial(self.func, **kwargs) if kwargs else self.func
+        return jax.checkpoint(f)(*args)
+
+    def __get__(self, instance, owner):
+        return functools.partial(self.__call__, instance)
+
+
+def gradients(fun, xs, grad_ys=None, stop_grads=None, group_aggregations=8,
+              custom_matmul_grad=True, has_aux=False):
+    """Functional replacement for the reference's custom ``bs.gradients``
+    (grads.py:196).
+
+    fun: callable taking ``xs`` (a pytree) and returning a scalar loss
+         (or (loss, aux) with has_aux=True).
+    xs:  pytree of arrays to differentiate against.
+    Returns the grad pytree (with aux if requested).
+
+    grad_ys/stop_grads: unsupported graph-mode concepts; use jax.vjp /
+    jax.lax.stop_gradient at the call site instead.
+    """
+    if grad_ys is not None or stop_grads is not None:
+        raise NotImplementedError(
+            "grad_ys/stop_grads: use jax.vjp or lax.stop_gradient in the "
+            "loss function instead")
+    return jax.grad(fun, has_aux=has_aux)(xs)

@@ -1,0 +1,206 @@
+"""Optimizer tests vs the reference NumPy math (test/adam_test.py,
+test/adafactor_test.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blocksparse_tpu.ops import optimize as opt
+
+
+def test_clip_by_global_norm():
+    gs = [np.random.randn(64, 32).astype(np.float32),
+          np.random.randn(100).astype(np.float32)]
+    gn, ns = opt.clip_by_global_norm([jnp.asarray(g) for g in gs],
+                                     clip_norm=1.0)
+    gn_np = np.sqrt(sum((g ** 2).sum() for g in gs))
+    np.testing.assert_allclose(float(gn), gn_np, rtol=1e-5)
+    np.testing.assert_allclose(float(ns), 1.0 / max(gn_np, 1.0), rtol=1e-5)
+
+    # non-finite grads -> norm_scale 0 (the loss-scale signal)
+    gs[0][0, 0] = np.inf
+    _, ns = opt.clip_by_global_norm([jnp.asarray(g) for g in gs])
+    assert float(ns) == 0.0
+
+    # unless scrubbed
+    gn, ns = opt.clip_by_global_norm([jnp.asarray(g) for g in gs],
+                                     zero_infs=True)
+    assert float(ns) > 0.0
+
+
+def test_adam_vs_reference_math():
+    beta1, beta2, lr, eps = 0.8, 0.5, 0.5, 1e-8
+    clip_norm = 1.0
+    shape = (128, 65)
+    G = np.random.uniform(-1, 1, shape).astype(np.float32)
+    P = np.random.uniform(-1, 1, shape).astype(np.float32)
+    M = np.random.uniform(0, 1, shape).astype(np.float32)
+    V = np.random.uniform(0, 1, shape).astype(np.float32)
+
+    gn, ns = opt.clip_by_global_norm([jnp.asarray(G)], clip_norm=clip_norm)
+    p, m, v = opt.adam_apply(jnp.asarray(G), jnp.asarray(P), jnp.asarray(M),
+                             jnp.asarray(V), lr, beta1, beta2, eps,
+                             norm_scale=ns)
+
+    GN = np.sqrt(np.sum(np.square(G)))
+    NS = clip_norm / np.maximum(GN, clip_norm)
+    G2 = G * NS
+    M2 = beta1 * M + (1 - beta1) * G2
+    V2 = beta2 * V + (1 - beta2) * G2 * G2
+    P2 = P - lr * M2 / (np.sqrt(V2) + eps)
+
+    np.testing.assert_allclose(np.asarray(m), M2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), V2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), P2, rtol=1e-5, atol=1e-6)
+
+    # norm_scale == 0 skips the update entirely
+    p0, m0, v0 = opt.adam_apply(jnp.asarray(G), jnp.asarray(P),
+                                jnp.asarray(M), jnp.asarray(V), lr,
+                                beta1, beta2, eps, norm_scale=0.0)
+    np.testing.assert_allclose(np.asarray(p0), P)
+    np.testing.assert_allclose(np.asarray(m0), M)
+    np.testing.assert_allclose(np.asarray(v0), V)
+
+
+def test_adam_gated():
+    shape = (6, 8, 8)  # blocks x bsize x bsize
+    G = np.random.randn(*shape).astype(np.float32)
+    P = np.random.randn(*shape).astype(np.float32)
+    M = np.zeros(shape, np.float32)
+    V = np.zeros(shape, np.float32)
+    gate = np.array([1, 0, 1, 1, 0, 1], np.float32)
+    p, m, v = opt.adam_apply(jnp.asarray(G), jnp.asarray(P), jnp.asarray(M),
+                             jnp.asarray(V), 0.1, gate=jnp.asarray(gate))
+    for i in range(6):
+        if gate[i] == 0:
+            np.testing.assert_allclose(np.asarray(p)[i], P[i])
+        else:
+            assert not np.allclose(np.asarray(p)[i], P[i])
+
+
+def test_adam_optimizer_class_bias_correction():
+    P = {"w": jnp.asarray(np.random.randn(16, 16), jnp.float32)}
+    G = {"w": jnp.asarray(np.random.randn(16, 16), jnp.float32)}
+    o = opt.AdamOptimizer(learning_rate=0.01, beta1=0.9, beta2=0.999)
+    st = o.init(P)
+    P2, st = o.apply(G, P, st)
+    # step 1 with zero-init state: p -= lr_t * (1-b1) g / (sqrt((1-b2)g^2)+eps)
+    lr_t = 0.01 * np.sqrt(1 - 0.999) / (1 - 0.9)
+    g = np.asarray(G["w"])
+    expect = np.asarray(P["w"]) - lr_t * (0.1 * g) / (
+        np.sqrt(0.001 * g * g) + 1e-8)
+    np.testing.assert_allclose(np.asarray(P2["w"]), expect, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_adam_fp16_state():
+    P = {"w": jnp.asarray(np.random.randn(128, 128), jnp.float32)}
+    G = {"w": jnp.asarray(np.random.randn(128, 128), jnp.float32)}
+    o = opt.AdamOptimizer(fp16=True)
+    st = o.init(P)
+    assert st["mean"]["w"].dtype == jnp.bfloat16
+    P2, st2 = o.apply(G, P, st)
+    assert st2["var"]["w"].dtype == jnp.bfloat16
+
+
+def test_adafactor2d_vs_reference_math():
+    beta2, lr, eps, clip_thresh = 0.5, 0.5, 1e-30, 1.0
+    shape = (64, 48)
+    G = np.random.uniform(-1, 1, shape).astype(np.float32)
+    P = np.random.uniform(-1, 1, shape).astype(np.float32)
+    C = np.random.uniform(0, 1, (1, shape[1])).astype(np.float32)
+    R = np.random.uniform(0, 1, (shape[0], 1)).astype(np.float32)
+
+    p, c, r, x = opt.adafactor2d_apply(jnp.asarray(P), jnp.asarray(C),
+                                       jnp.asarray(R), jnp.asarray(G),
+                                       beta2, lr, clip_thresh=clip_thresh,
+                                       epsilon=eps)
+
+    C2 = beta2 * C + (1 - beta2) * np.mean(np.square(G) + eps, axis=0,
+                                           keepdims=True)
+    R2 = beta2 * R + (1 - beta2) * np.mean(np.square(G) + eps, axis=1,
+                                           keepdims=True)
+    LTM = np.mean(R2, keepdims=True)
+    X = G / (np.sqrt(R2 / LTM) * np.sqrt(C2))
+    RMS_X = np.sqrt(np.mean(np.square(X)))
+    P2 = P - lr * X / np.maximum(1.0, RMS_X / clip_thresh)
+
+    np.testing.assert_allclose(np.asarray(c), C2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r), R2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), P2, rtol=1e-4, atol=1e-5)
+
+
+def test_adafactor1d_vs_reference_math():
+    beta2, lr, eps = 0.5, 0.5, 1e-30
+    G = np.random.uniform(-1, 1, (1, 100)).astype(np.float32)
+    P = np.random.uniform(-1, 1, (1, 100)).astype(np.float32)
+    C = np.random.uniform(0, 1, (1, 100)).astype(np.float32)
+    p, c, x = opt.adafactor1d_apply(jnp.asarray(P), jnp.asarray(C),
+                                    jnp.asarray(G), beta2, lr, epsilon=eps)
+    C2 = beta2 * C + (1 - beta2) * (np.square(G) + eps)
+    X = G / np.sqrt(C2)
+    RMS_X = np.sqrt(np.mean(np.square(X)))
+    P2 = P - lr * X / np.maximum(1.0, RMS_X)
+    np.testing.assert_allclose(np.asarray(c), C2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), P2, rtol=1e-4, atol=1e-5)
+
+
+def test_ema():
+    P = np.random.randn(32).astype(np.float32)
+    E = np.random.randn(32).astype(np.float32)
+    out = opt.ema_op(jnp.asarray(E), jnp.asarray(P), decay=0.9)
+    np.testing.assert_allclose(np.asarray(out), 0.9 * E + 0.1 * P, rtol=1e-5)
+    ema = opt.Ema(decay=0.9)
+    st = ema.init({"w": jnp.asarray(P)})
+    st = ema.apply({"w": jnp.asarray(P)}, st)
+    np.testing.assert_allclose(np.asarray(st["w"]), P, rtol=1e-6)
+
+
+def test_l2_decay_and_prune():
+    W = np.random.randn(10, 8, 8).astype(np.float32)
+    W2 = opt.blocksparse_l2_decay(jnp.asarray(W), rate=0.05)
+    norms = np.sqrt((W ** 2).sum(axis=(1, 2), keepdims=True))
+    expect = W * np.maximum(1 - 0.05 / norms, 0)
+    np.testing.assert_allclose(np.asarray(W2), expect, rtol=1e-5)
+
+    n = opt.blocksparse_norm(jnp.asarray(W), norm="l2")
+    np.testing.assert_allclose(np.asarray(n), norms.reshape(-1), rtol=1e-5)
+
+    gate = jnp.ones((10,), jnp.float32)
+    new_gate = opt.blocksparse_prune(gate, jnp.asarray(W), step=0,
+                                     sparsity=0.5, norm="l2")
+    assert np.asarray(new_gate).sum() == 5
+    kept = np.argsort(-np.asarray(n))[:5]
+    assert set(np.nonzero(np.asarray(new_gate))[0]) == set(kept)
+
+    # off-schedule step keeps old gate
+    same = opt.blocksparse_prune(gate, jnp.asarray(W), step=1,
+                                 sparsity=0.5, frequency=2)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(gate))
+
+
+def test_quantize_roundtrip():
+    from blocksparse_tpu.ops.quantize import QuantizeSpec, quantize, \
+        quantize_float_sim
+    x = np.random.randn(1024).astype(np.float32)
+    # wide format: identity
+    spec = QuantizeSpec(ebits=8, fbits=23, emax=127)
+    y = quantize_float_sim(jnp.asarray(x), 8, 23, 127)
+    np.testing.assert_allclose(np.asarray(y), x, rtol=1e-7)
+
+    # 8-bit-ish format: values land on the grid and are monotone
+    y = np.asarray(quantize_float_sim(jnp.asarray(x), 4, 3, 7))
+    assert np.abs(y - x).max() < 0.1 * np.abs(x).max() + 0.1
+    # saturation
+    big = jnp.asarray([1e9, -1e9], jnp.float32)
+    yb = np.asarray(quantize_float_sim(big, 4, 3, 7))
+    mx = (2 - 2.0 ** -3) * 2.0 ** 7
+    np.testing.assert_allclose(yb, [mx, -mx])
+
+    # independent backward spec
+    f_spec = QuantizeSpec(ebits=8, fbits=23, emax=127)
+    b_spec = QuantizeSpec(ebits=4, fbits=3, emax=7)
+    dy = jnp.asarray(np.random.randn(1024).astype(np.float32))
+    _, vjp = jax.vjp(lambda x: quantize(x, f_spec, b_spec), jnp.asarray(x))
+    (dx,) = vjp(dy)
+    expect = np.asarray(quantize_float_sim(dy, 4, 3, 7))
+    np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-6)

@@ -1,0 +1,232 @@
+"""BlocksparseTransformer + dense softmax family vs NumPy goldens.
+
+Mirrors reference test/blocksparse_transformer_test.py with hard asserts.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blocksparse_tpu.ops import transformer as trans
+from blocksparse_tpu.ops.transformer import BlocksparseTransformer
+
+
+def causal_subblock_mask(blk_shape, head, qry, key, blk):
+    """Causal mask callback (reference enwik8.py:82-94 pattern)."""
+    mask = np.ones(blk_shape, dtype=bool)
+    if qry == key:
+        for q, k in np.ndindex(blk_shape):
+            if k > q:
+                mask[q, k] = 0
+    return mask
+
+
+def make_bst(ctx_blks=4, bsize=16, heads=2, per_head=False, masked=True,
+             seed=0):
+    rng = np.random.RandomState(seed)
+    lut_heads = heads if per_head else 1
+    layouts = []
+    base = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+    nnz = int(base.sum())
+    for h in range(lut_heads):
+        lay = base.copy()
+        layouts.append(lay)
+    layout = np.array(layouts) if per_head else base
+    cb = causal_subblock_mask if masked else None
+    return BlocksparseTransformer(layout, block_size=bsize, heads=heads,
+                                  mask_callback=cb)
+
+
+@pytest.mark.parametrize("bsize", [8, 16, 32])
+@pytest.mark.parametrize("per_head", [False, True])
+def test_nt_nn_tn(bsize, per_head):
+    heads, ctx_blks, batch, hs = 2, 4, 2, 16
+    bst = make_bst(ctx_blks, bsize, heads, per_head, masked=False)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    A = np.random.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    B = np.random.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    W = np.random.uniform(-1, 1, (batch, heads, bst.blocks, bsize,
+                                  bsize)).astype(np.float32)
+
+    w = bst.nt_op(jnp.asarray(A), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(w), bst.nt_test(A, B),
+                               rtol=1e-4, atol=1e-4)
+
+    y = bst.nn_op(jnp.asarray(W), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(y), bst.nn_test(W, B),
+                               rtol=1e-4, atol=1e-4)
+
+    z = bst.tn_op(jnp.asarray(W), jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(z), bst.tn_test(W, A),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_nt_nn_grads():
+    heads, ctx_blks, batch, hs, bsize = 2, 3, 1, 8, 16
+    bst = make_bst(ctx_blks, bsize, heads, masked=False)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    Q = np.random.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    K = np.random.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    V = np.random.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    DY = np.random.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+
+    def f(q, k, v):
+        w = bst.nt_op(q, k)
+        y = bst.nn_op(w, v)
+        return jnp.sum(y * jnp.asarray(DY))
+
+    dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
+
+    # numerical golden via pure numpy chain rule
+    W = bst.nt_test(Q, K)
+    DW = bst.nt_test(DY, V)          # dW = NT(dy, v)
+    DV = bst.tn_test(W, DY)          # dV = TN(w, dy)
+    DQ = bst.nn_test(DW, K)          # dQ = NN(dw, k)
+    DK = bst.tn_test(DW, Q)          # dK = TN(dw, q)
+
+    np.testing.assert_allclose(np.asarray(dv), DV, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dq), DQ, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), DK, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("bsize", [8, 16, 32])
+def test_blocked_masked_softmax(bsize):
+    heads, ctx_blks, batch = 2, 4, 2
+    bst = make_bst(ctx_blks, bsize, heads, masked=True)
+    X = np.random.uniform(-1, 1, (batch, heads, bst.blocks, bsize,
+                                  bsize)).astype(np.float32)
+    scale = 0.5
+
+    y = bst.masked_softmax(jnp.asarray(X), scale=scale)
+    y_g = bst.masked_softmax_test(X, scale=scale)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-4, atol=1e-5)
+
+    # unmasked blocked softmax
+    bst2 = make_bst(ctx_blks, bsize, heads, masked=False)
+    y2 = bst2.softmax(jnp.asarray(X), scale=scale)
+    y2_g = bst2.masked_softmax_test(X, scale=scale)
+    np.testing.assert_allclose(np.asarray(y2), y2_g, rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_softmax_grad():
+    heads, ctx_blks, batch, bsize = 2, 3, 1, 16
+    bst = make_bst(ctx_blks, bsize, heads, masked=True)
+    X = np.random.uniform(-1, 1, (batch, heads, bst.blocks, bsize,
+                                  bsize)).astype(np.float32)
+    DY = np.random.uniform(-1, 1, X.shape).astype(np.float32)
+    scale = 0.7
+
+    y, vjp = jax.vjp(lambda x: bst.masked_softmax(x, scale=scale),
+                     jnp.asarray(X))
+    (dx,) = vjp(jnp.asarray(DY))
+    y_g = bst.masked_softmax_test(X, scale=scale)
+    dx_g = bst.masked_softmax_grad_test(DY, y_g, scale=scale)
+    # masked positions have zero grad in our impl; the reference golden
+    # computes grads on masked y==0 anyway (zero product) — equivalent.
+    np.testing.assert_allclose(np.asarray(dx), dx_g, rtol=1e-3, atol=1e-5)
+
+
+def test_autoregress_at_key():
+    heads, ctx_blks, batch, bsize = 1, 4, 1, 8
+    bst = make_bst(ctx_blks, bsize, heads, masked=True)
+    X = np.random.uniform(-1, 1, (batch, heads, bst.blocks, bsize,
+                                  bsize)).astype(np.float32)
+    key = 13
+    y = bst.masked_softmax(jnp.asarray(X), scale=1.0, autoregress_at_key=key)
+    y_g = bst.masked_softmax_test(X, scale=1.0, autoregress_at_key=key)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_vs_blocked_attention():
+    """Full (dense layout, causal mask) blocked attention == dense
+    softmax attention (reference test pattern)."""
+    heads, ctx_blks, batch, hs, bsize = 2, 4, 2, 8, 16
+    bst = make_bst(ctx_blks, bsize, heads, masked=True)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    Q = np.random.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    K = np.random.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    V = np.random.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    scale = 1.0 / np.sqrt(hs)
+
+    w = bst.query_key_op(jnp.asarray(Q), jnp.asarray(K))
+    w = bst.masked_softmax(w, scale=scale)
+    y = bst.weight_value_op(w, jnp.asarray(V))
+
+    # dense reference
+    q = Q.reshape(batch, ctx, heads, hs).transpose(0, 2, 1, 3)
+    k = K.reshape(batch, ctx, heads, hs).transpose(0, 2, 1, 3)
+    v = V.reshape(batch, ctx, heads, hs).transpose(0, 2, 1, 3)
+    scores = np.einsum("nhqc,nhkc->nhqk", q, k) * scale
+    causal = np.tril(np.ones((ctx, ctx), bool))
+    scores = np.where(causal, scores, -1e30)
+    e = np.exp(scores - scores.max(axis=-1, keepdims=True))
+    sm = e / e.sum(axis=-1, keepdims=True)
+    y_d = np.einsum("nhqk,nhkc->nhqc", sm, v).transpose(0, 2, 1, 3) \
+        .reshape(batch, ctx, state)
+    np.testing.assert_allclose(np.asarray(y), y_d, rtol=1e-3, atol=1e-4)
+
+
+def test_dense_softmax_family():
+    x = np.random.uniform(-1, 1, (8, 64)).astype(np.float32)
+    mask = (np.random.rand(1, 64) > 0.3).astype(np.float32)
+    y = trans.masked_softmax(jnp.asarray(x), jnp.asarray(mask), scale=0.5)
+    y_g = trans.masked_softmax_test(x, mask, scale=0.5)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-4, atol=1e-6)
+
+    dy = np.random.randn(8, 64).astype(np.float32)
+    _, vjp = jax.vjp(
+        lambda x: trans.masked_softmax(x, jnp.asarray(mask), scale=0.5),
+        jnp.asarray(x))
+    (dx,) = vjp(jnp.asarray(dy))
+    dx_g = trans.masked_softmax_grad_test(dy, y_g, mask, scale=0.5)
+    np.testing.assert_allclose(np.asarray(dx), dx_g, rtol=1e-3, atol=1e-5)
+
+
+def test_top_k_family():
+    x = np.random.uniform(-1, 1, (8, 32)).astype(np.float32)
+    y = trans.rectified_top_k(jnp.asarray(x), 5)
+    y_g = trans.rectified_top_k_test(x, 5)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-5, atol=1e-6)
+
+    y2 = trans.masked_top_k_softmax(jnp.asarray(x), 5)
+    y2_g = trans.masked_top_k_softmax_test(x, 5)
+    np.testing.assert_allclose(np.asarray(y2), y2_g, rtol=1e-4, atol=1e-6)
+
+    vals, idx = trans.top_k(jnp.asarray(x), 5)
+    assert vals.shape == (8, 5)
+
+
+def test_softmax_cross_entropy():
+    logits = np.random.randn(16, 100).astype(np.float32)
+    labels = np.random.randint(0, 100, 16)
+    loss = trans.softmax_cross_entropy(logits=jnp.asarray(logits),
+                                       labels=jnp.asarray(labels))
+    sm = np.exp(logits - logits.max(-1, keepdims=True))
+    sm /= sm.sum(-1, keepdims=True)
+    expect = -np.log(sm[np.arange(16), labels])
+    np.testing.assert_allclose(np.asarray(loss), expect, rtol=1e-4,
+                               atol=1e-5)
+
+    dy = np.random.rand(16).astype(np.float32)
+    _, vjp = jax.vjp(
+        lambda l: trans.softmax_cross_entropy(logits=l,
+                                              labels=jnp.asarray(labels)),
+        jnp.asarray(logits))
+    (dx,) = vjp(jnp.asarray(dy))
+    onehot = np.eye(100, dtype=np.float32)[labels]
+    np.testing.assert_allclose(np.asarray(dx), (sm - onehot) * dy[:, None],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_transposes():
+    x = np.random.randn(2, 3, 4, 5).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(trans.transpose_0213(jnp.asarray(x))),
+        x.transpose(0, 2, 1, 3))
+    x2 = np.random.randn(3, 7).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(trans.transpose_2d(jnp.asarray(x2))),
+                               x2.T)

@@ -719,3 +719,81 @@ def softmax_cross_entropy(logits=None, labels=None):
 
     _xent.defvjp(fwd, bwd)
     return _xent(logits, labels)
+
+
+# ------------------------------------------------------------------
+# Fused flash-style sparse attention (kernels/bst_attn.py): computes
+# nn(masked_softmax(nt(q, k)), v) in one streaming kernel without
+# materializing the blocked score tensor.  Backward recomputes scores
+# through the unfused ops (flash-bwd kernel is a later optimization).
+# ------------------------------------------------------------------
+
+def _can_fuse(bst, hs, ctx_k, itemsize, budget=10 * 1024 * 1024):
+    resident = 2 * ctx_k * hs * itemsize      # K + V per head
+    sched = bst.attn_schedule
+    chunk = sched.bs * sched.E * sched.bs     # mask chunk
+    return hs <= 128 and resident + 4 * chunk <= budget
+
+
+def _attention_fused(bst, q, k, v, scale):
+    from blocksparse_tpu.kernels import bst_attn
+
+    @jax.custom_vjp
+    def att(q, k, v):
+        batch = q.shape[0]
+        hs = q.shape[2] // bst.heads
+        q5 = bst._split_heads(q, bst.ctx_blks_q)
+        k5 = bst._split_heads(k, bst.ctx_blks_k)
+        v5 = bst._split_heads(v, bst.ctx_blks_k)
+        BH = batch * bst.heads
+        qf = q5.reshape(BH, bst.ctx_blks_q * bst.blk_size, hs)
+        kf = k5.reshape(BH, bst.ctx_blks_k * bst.blk_size, hs)
+        vf = v5.reshape(BH, bst.ctx_blks_k * bst.blk_size, hs)
+        yf = bst_attn.fused_attention_fwd(qf, kf, vf, bst.attn_schedule,
+                                          bst.heads, scale)
+        y5 = yf.reshape(batch, bst.heads, bst.ctx_blks_q, bst.blk_size, hs)
+        return bst._merge_heads(y5)
+
+    def fwd(q, k, v):
+        return att(q, k, v), (q, k, v)
+
+    def bwd(res, dy):
+        q, k, v = res
+
+        def ref(q, k, v):
+            w = bst.nt_op(q, k)
+            p = bst.masked_softmax(w, scale=scale)
+            return bst.nn_op(p, v)
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(dy)
+
+    att.defvjp(fwd, bwd)
+    return att(q, k, v)
+
+
+def _bst_attention(self, q, k, v, scale=1.0, use_fused=None):
+    """Fused sparse attention: softmax(scale*QK^T + mask) V over this
+    object's layout.  Falls back to the unfused three-op composition when
+    the fused kernel doesn't fit (huge ctx*hs) or when disabled."""
+    hs = q.shape[-1] // self.heads
+    if use_fused is None:
+        use_fused = _can_fuse(self, hs, self.ctx_blks_k * self.blk_size,
+                              q.dtype.itemsize)
+    if use_fused:
+        return _attention_fused(self, q, k, v, scale)
+    w = self.nt_op(q, k)
+    p = self.masked_softmax(w, scale=scale)
+    return self.nn_op(p, v)
+
+
+def _bst_attn_schedule(self):
+    from blocksparse_tpu.kernels import bst_attn
+    if getattr(self, "_attn_sched_cache", None) is None:
+        self._attn_sched_cache = bst_attn.build_attn_schedule(
+            self.nn_list, self.ctx_blks_q, self.blk_size, self._mask_blocks)
+    return self._attn_sched_cache
+
+
+BlocksparseTransformer.attention = _bst_attention
+BlocksparseTransformer.attn_schedule = property(_bst_attn_schedule)

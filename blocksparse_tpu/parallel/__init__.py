@@ -1,0 +1,15 @@
+from blocksparse_tpu.parallel.mesh import (
+    make_mesh,
+    mpi_size,
+    mpi_rank,
+)
+from blocksparse_tpu.parallel.collectives import (
+    allreduce,
+    group_allreduce,
+    reduce_scatter,
+    all_gather,
+    sync_variables_op,
+    sync_globals_zero_init_op,
+    serialize_allreduce_ops,
+    identity_sync,
+)

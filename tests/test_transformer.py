@@ -230,3 +230,61 @@ def test_transposes():
     x2 = np.random.randn(3, 7).astype(np.float32)
     np.testing.assert_allclose(np.asarray(trans.transpose_2d(jnp.asarray(x2))),
                                x2.T)
+
+
+def test_fused_attention_matches_unfused():
+    heads, ctx_blks, batch, hs, bsize = 2, 4, 2, 16, 16
+    bst = make_bst(ctx_blks, bsize, heads, masked=True)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    rng = np.random.RandomState(3)
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    K = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    V = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    scale = 0.25
+
+    y_fused = bst.attention(jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+                            scale=scale, use_fused=True)
+    y_ref = bst.attention(jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+                          scale=scale, use_fused=False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # grads flow through the recompute backward
+    DY = rng.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+
+    def loss(q, k, v, fused):
+        y = bst.attention(q, k, v, scale=scale, use_fused=fused)
+        return jnp.sum(y * jnp.asarray(DY))
+
+    g_f = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V), True)
+    g_r = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V), False)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_unmasked_layout():
+    # strided-ish sparse layout without mask callback
+    heads, ctx_blks, batch, hs, bsize = 1, 6, 1, 8, 8
+    layout = np.zeros((ctx_blks, ctx_blks), np.int32)
+    for i in range(ctx_blks):
+        layout[i, i] = 1
+        layout[i, 0] = 1
+        if i >= 2:
+            layout[i, i - 2] = 1
+    bst = BlocksparseTransformer(layout, block_size=bsize, heads=heads)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    rng = np.random.RandomState(5)
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    K = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    V = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    y_fused = bst.attention(jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+                            scale=0.3, use_fused=True)
+    y_ref = bst.attention(jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+                          scale=0.3, use_fused=False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)

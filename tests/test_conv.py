@@ -1,0 +1,160 @@
+"""BlocksparseConv / Deconv / ConvEdgeBias / cwise_linear vs goldens.
+
+Mirrors reference test/blocksparse_conv_test.py with hard asserts.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blocksparse_tpu.ops.conv import (
+    BlocksparseConv, BlocksparseDeconv, ConvEdgeBias, conv_edge_bias_init,
+    cwise_linear, cwise_linear_test, cwise_linear_grad_test,
+)
+
+
+def make_bck(blocks, bC, bK, C, K, seed=0, overlap=False):
+    rng = np.random.RandomState(seed)
+    BCK = []
+    for b in range(blocks):
+        if overlap:
+            cs = tuple(sorted(rng.choice(C, bC, replace=False).tolist()))
+            ks = tuple(sorted(rng.choice(K, bK, replace=False).tolist()))
+        else:
+            cs = tuple(range((b * bC) % C, (b * bC) % C + bC))
+            ks = tuple(range((b * bK) % K, (b * bK) % K + bK))
+        BCK.append((cs, ks))
+    return BCK
+
+
+@pytest.mark.parametrize("dims", [1, 2])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv_fprop_bprop_updat(dims, stride):
+    N, C, K = 2, 8, 8
+    bC, bK, blocks = 4, 4, 4
+    BCK = make_bck(blocks, bC, bK, C, K, seed=dims)
+    TRS = (3,) * dims
+    DHW = (12,) * dims
+    strides = (stride,) * dims
+    bsc = BlocksparseConv(BCK, TRS, DHW, strides=strides, padding="SAME")
+
+    F_blocks = [np.random.uniform(-1, 1, bsc.f_shape(b)[:2] + bsc.TRS)
+                .astype(np.float32) for b in range(blocks)]
+    F = np.stack([f for f in F_blocks]) if bsc.fixed_block_size else None
+    I = np.random.uniform(-1, 1, bsc.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsc.o_shape(N)).astype(np.float32)
+
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    y_g = bsc.fprop_test(F_blocks, I)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-3, atol=1e-4)
+
+    # grads via AD vs bprop/updat goldens
+    def loss(f, x):
+        return jnp.sum(bsc(f, x) * jnp.asarray(E))
+
+    dF, dI = jax.grad(loss, argnums=(0, 1))(jnp.asarray(F), jnp.asarray(I))
+    dI_g = bsc.bprop_test(F_blocks, E)
+    np.testing.assert_allclose(np.asarray(dI), dI_g, rtol=1e-3, atol=1e-4)
+
+    dF_g = bsc.updat_test(E, I)
+    np.testing.assert_allclose(np.asarray(dF).reshape(-1), dF_g,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_conv_overlapping_k():
+    N, C, K = 2, 8, 6
+    BCK = [((0, 1, 2, 3), (0, 1, 2)), ((4, 5, 6, 7), (2, 3, 4)),
+           ((0, 2, 4, 6), (3, 4, 5))]
+    bsc = BlocksparseConv(BCK, (3, 3), (8, 8), padding="SAME")
+    assert bsc.overlapK
+    F_blocks = [np.random.uniform(-1, 1, [3, 4] + bsc.TRS).astype(np.float32)
+                for _ in range(3)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, bsc.i_shape(N)).astype(np.float32)
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_deconv():
+    N, C, K = 2, 4, 4
+    BCK = [((0, 1), (0, 1)), ((2, 3), (2, 3))]
+    conv = BlocksparseConv(BCK, (3,), (12,), padding="SAME")
+    dec = BlocksparseDeconv(BCK, (3,), (12,), padding="SAME")
+    F_blocks = [np.random.uniform(-1, 1, [2, 2] + conv.TRS).astype(np.float32)
+                for _ in range(2)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, dec.i_shape(N)).astype(np.float32)
+    y = dec(jnp.asarray(F), jnp.asarray(I))
+    y_g = dec.fprop_test(F_blocks, I)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-3, atol=1e-4)
+
+
+def test_conv_l2_normalize():
+    BCK = make_bck(3, 4, 4, 8, 8, seed=2)
+    bsc = BlocksparseConv(BCK, (3, 3), (8, 8))
+    F_blocks = [np.random.uniform(-1, 1, [4, 4] + bsc.TRS).astype(np.float32)
+                for _ in range(3)]
+    F = np.stack(F_blocks)
+    Fn = bsc.l2_normalize(jnp.asarray(F))
+    Fn_g = bsc.l2_normalize_test(F_blocks)
+    np.testing.assert_allclose(np.asarray(Fn).reshape(-1), Fn_g,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("fmt", ["NHWC", "NCHW"])
+def test_conv_edge_bias(fmt):
+    N, H, W, C, K = 2, 8, 8, 4, 6
+    if fmt == "NHWC":
+        x_shape = [N, H, W, C]
+        y_shape = [N, H, W, K]
+    else:
+        x_shape = [N, C, H, W]
+        y_shape = [N, K, H, W]
+    w_shape = [3, 3, C, K]
+    eb = ConvEdgeBias(y_shape, x_shape, w_shape, strides=[1, 1, 1, 1],
+                      padding="SAME", data_format=fmt)
+    assert eb.edgeBiasDim > 0
+
+    x = np.random.uniform(-1, 1, y_shape).astype(np.float32)
+    g = np.random.uniform(0.5, 1.5, eb.shape).astype(np.float32)
+    b = np.random.uniform(-0.5, 0.5, eb.shape).astype(np.float32)
+
+    y = eb(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    y_g = eb.edge_bias_test(x, g, b)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-5, atol=1e-6)
+
+    dy = np.random.uniform(-1, 1, y_shape).astype(np.float32)
+
+    def loss(x, g, b):
+        return jnp.sum(eb(x, g, b) * jnp.asarray(dy))
+
+    dx, dg, db = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    dx_g, dg_g, db_g = eb.edge_bias_grad_test(dy, x, g)
+    np.testing.assert_allclose(np.asarray(dx), dx_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg), dg_g, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), db_g, rtol=1e-4, atol=1e-4)
+
+
+def test_cwise_linear():
+    x = np.random.uniform(-1, 1, (2, 8, 4, 4)).astype(np.float32)
+    a = np.random.uniform(0.5, 1.5, 8).astype(np.float32)
+    b = np.random.uniform(-0.5, 0.5, 8).astype(np.float32)
+    y = cwise_linear(jnp.asarray(x), gain=jnp.asarray(a), bias=jnp.asarray(b),
+                     relu=True)
+    y_g = cwise_linear_test(x, a, b, relu=True)
+    np.testing.assert_allclose(np.asarray(y), y_g, rtol=1e-5, atol=1e-6)
+
+    dy = np.random.uniform(-1, 1, x.shape).astype(np.float32)
+
+    def loss(x, a, b):
+        return jnp.sum(cwise_linear(x, gain=a, bias=b, relu=True)
+                       * jnp.asarray(dy))
+
+    dx, da, db = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(a), jnp.asarray(b))
+    dx_g, da_g, db_g = cwise_linear_grad_test(dy, x, a, b, relu=True)
+    np.testing.assert_allclose(np.asarray(dx), dx_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da), da_g, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), db_g, rtol=1e-4, atol=1e-4)

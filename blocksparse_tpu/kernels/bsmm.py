@@ -537,7 +537,8 @@ def updat_pallas_packed(x, dy, sched: UpdatSchedule, bsize: int, blocks: int,
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    packed = fn(jnp.asarray(sched.cb), jnp.asarray(sched.kb), x, dy)
+    packed = fn(jnp.asarray(sched.cb),
+                jnp.asarray(sched.kb.reshape(sched.groups, -1)), x, dy)
     flat = packed.reshape(S, bsize, G, bsize).transpose(0, 2, 1, 3) \
                  .reshape(S * G, bsize, bsize)
     return flat[jnp.asarray(sched.perm)]
@@ -646,12 +647,14 @@ def _gather_w_grouped(w, sched: GroupedSchedule, trans_w: bool):
 
 def _xprop_grouped_kernel(CH, G, R, bsize, trans_w, precision,
                           rows_ref, idx_ref, x_ref, w_ref, out_ref, acc_ref):
+    # idx_ref is (groups, CH*G): SMEM scalar arrays are lane-padded to
+    # 128, so a small minor dim would inflate 128/G x.
     g = pl.program_id(1)
     Gb = G * bsize
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for j in range(CH):
         xcat = jnp.concatenate(
-            [x_ref[pl.ds(idx_ref[g, j, i] * bsize, bsize), :]
+            [x_ref[pl.ds(idx_ref[g, j * G + i] * bsize, bsize), :]
              for i in range(G)], axis=0)                       # (Gb, TN)
         if trans_w:
             wch = w_ref[0, j * bsize:(j + 1) * bsize, :]       # (b, Gb)
@@ -671,6 +674,15 @@ def _xprop_grouped_kernel(CH, G, R, bsize, trans_w, precision,
 def xprop_pallas_grouped(x, w, sched: GroupedSchedule, bsize: int,
                          trans_w: bool, tile_n: int | None = None,
                          precision=None, out_dtype=None):
+    w_panels = _gather_w_grouped(w, sched, trans_w)
+    return xprop_pallas_grouped_panels(
+        x, w_panels, sched, bsize, trans_w, tile_n=tile_n,
+        precision=precision, out_dtype=out_dtype)
+
+
+def _xprop_pallas_grouped_old(x, w, sched, bsize,
+                              trans_w, tile_n=None,
+                              precision=None, out_dtype=None):
     C, N = x.shape
     TN = tile_n or pick_tile(N)
     assert N % TN == 0
@@ -705,16 +717,19 @@ def xprop_pallas_grouped(x, w, sched: GroupedSchedule, bsize: int,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((R * bsize, TN), jnp.float32)],
     )
+    kernel = _xprop_grouped_contig_kernel \
+        if getattr(sched, "contiguous", False) else _xprop_grouped_kernel
     fn = pl.pallas_call(
-        functools.partial(_xprop_grouped_kernel, CH, G, R, bsize, trans_w,
-                          prec),
+        functools.partial(kernel, CH, G, R, bsize, trans_w, prec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows_padded * bsize, N),
                                        out_dtype),
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    out = fn(jnp.asarray(sched.rows), jnp.asarray(sched.in_idx), x, w_panels)
+    out = fn(jnp.asarray(sched.rows),
+             jnp.asarray(sched.in_idx.reshape(sched.groups, -1)),
+             x, w_panels)
     if out_rows_padded != sched.n_out_blocks:
         out = out[:sched.n_out_blocks * bsize]
     return out
@@ -781,7 +796,7 @@ def _updat_grouped_kernel(CH, G, bsize, precision, cb_ref, kb_ref,
     for j in range(CH):
         xblk = x_ref[pl.ds(cb_ref[g, j] * bsize, bsize), :]    # (b, TN)
         dycat = jnp.concatenate(
-            [dy_ref[pl.ds(kb_ref[g, j, i] * bsize, bsize), :]
+            [dy_ref[pl.ds(kb_ref[g, j * G + i] * bsize, bsize), :]
              for i in range(G)], axis=0)                       # (Gb, TN)
         out_ref[0, j * bsize:(j + 1) * bsize, :] += jax.lax.dot_general(
             xblk, dycat, (((1,), (1,)), ((), ())),
@@ -829,7 +844,189 @@ def updat_pallas_grouped(x, dy, sched: UpdatGroupedSchedule, bsize: int,
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    packed = fn(jnp.asarray(sched.cb), jnp.asarray(sched.kb), x, dy)
+    packed = fn(jnp.asarray(sched.cb),
+                jnp.asarray(sched.kb.reshape(sched.groups, -1)), x, dy)
     flat = packed.reshape(groups * CH, bsize, G, bsize).transpose(0, 2, 1, 3) \
                  .reshape(groups * CH * G, bsize, bsize)
+    if getattr(sched, "pad_zero", False):
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((1, bsize, bsize), flat.dtype)], axis=0)
     return flat[jnp.asarray(sched.perm)]
+
+
+# ------------------------------------------------------------------
+# Packed-weight support: weights stored in fprop grouped-schedule order
+# (padding blocks included as zeros).  The fprop panel view is then a
+# free reshape — no per-call gather, saving ~3 W-sized HBM passes per
+# fprop on bandwidth-bound parts.
+# ------------------------------------------------------------------
+
+def packed_len(sched: GroupedSchedule) -> int:
+    return sched.groups * sched.CH * sched.G
+
+
+def packed_positions(sched: GroupedSchedule, blocks: int) -> np.ndarray:
+    """pos[w_id] = flat slot of canonical block id in the packed layout."""
+    pos = np.full(blocks, -1, np.int64)
+    G = sched.G
+    flat_w = sched.w_idx.reshape(-1)
+    flat_v = sched.w_valid.reshape(-1)
+    for p in range(flat_w.shape[0]):
+        if flat_v[p]:
+            pos[flat_w[p]] = p
+    assert (pos >= 0).all()
+    return pos.astype(np.int32)
+
+
+def fprop_panels_from_packed(w_packed, sched: GroupedSchedule):
+    """(packed_blocks, b, b) -> (groups, CH*G*b, b), zero copies."""
+    b = w_packed.shape[1]
+    return w_packed.reshape(sched.groups, sched.CH * sched.G * b, b)
+
+
+def xprop_pallas_grouped_panels(x, w_panels, sched: GroupedSchedule,
+                                bsize: int, trans_w: bool,
+                                tile_n: int | None = None, precision=None,
+                                out_dtype=None):
+    """Same as xprop_pallas_grouped but takes pre-built weight panels."""
+    C, N = x.shape
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+    R, G, CH = sched.R, sched.G, sched.CH
+    groups = sched.groups
+    out_rows_padded = groups * R
+    out_dtype = out_dtype or x.dtype
+
+    in_specs = [
+        pl.BlockSpec((C, TN), lambda n, g, rr, ii: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w_panels.shape[1:],
+                     lambda n, g, rr, ii: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((R * bsize, TN), lambda n, g, rr, ii: (g, n),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * groups * CH * G * bsize * bsize * N,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + (N // TN) * w_panels.size * w_panels.dtype.itemsize
+        + out_rows_padded * bsize * N * 4,
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, groups),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((R * bsize, TN), jnp.float32)],
+    )
+    kernel = _xprop_grouped_contig_kernel \
+        if getattr(sched, "contiguous", False) else _xprop_grouped_kernel
+    fn = pl.pallas_call(
+        functools.partial(kernel, CH, G, R, bsize, trans_w, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows_padded * bsize, N),
+                                       out_dtype),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    out = fn(jnp.asarray(sched.rows),
+             jnp.asarray(sched.in_idx.reshape(sched.groups, -1)),
+             x, w_panels)
+    if out_rows_padded != sched.n_out_blocks:
+        out = out[:sched.n_out_blocks * bsize]
+    return out
+
+
+# ------------------------------------------------------------------
+# Supertile schedules: each chunk covers V = 128/bsize CONSECUTIVE input
+# block-rows (absent blocks carry zero weights), so the kernel loads one
+# contiguous (128, TN) x-slice per chunk — no per-slot gather or VPU
+# concat.  Wins whenever the layout has input-side locality (banded,
+# local, small-world, dense-ish); the padding FLOPs are free on the MXU
+# when the kernel is bandwidth-bound.  `supertile_inflation` estimates
+# the weight-traffic blowup for auto-selection.
+# ------------------------------------------------------------------
+
+def supertile_rows(entries_per_row, bsize):
+    """Rewrite per-row entry lists onto the supertile grid.
+
+    Returns (new_rows, inflation): new_rows[r] = list over present
+    supertiles of (first_in_blk, [slot -> w_id or -1])."""
+    V = max(1, CONTRACT // bsize)
+    total = 0
+    kept = 0
+    new_rows = []
+    for ents in entries_per_row:
+        by_st = {}
+        for (cb, w) in ents:
+            by_st.setdefault(cb // V, {})[cb % V] = w
+        row = []
+        for st in sorted(by_st):
+            slots = [by_st[st].get(i, -1) for i in range(V)]
+            row.append((st * V, slots))
+            total += V
+        kept += len(ents)
+        new_rows.append(row)
+    inflation = total / max(kept, 1)
+    return new_rows, inflation
+
+
+def build_supertile_schedule(entries_per_row, n_out_blocks, bsize, R):
+    """GroupedSchedule where every chunk is one contiguous supertile."""
+    st_rows, inflation = supertile_rows(entries_per_row, bsize)
+    V = max(1, CONTRACT // bsize)
+    groups = -(-n_out_blocks // R)
+    per_group = []
+    for g in range(groups):
+        chunks = []
+        for r in range(R):
+            row = g * R + r
+            tiles = st_rows[row] if row < n_out_blocks else []
+            if not tiles:
+                tiles = [(0, [-1] * V)]
+            for (start, slots) in tiles:
+                chunks.append((r, start, slots))
+        per_group.append(chunks)
+    CH = max(len(c) for c in per_group)
+    rows = np.zeros((groups, CH), np.int32)
+    in_idx = np.zeros((groups, CH, V), np.int32)
+    w_idx = np.zeros((groups, CH, V), np.int32)
+    w_valid = np.zeros((groups, CH, V), np.int32)
+    for g, chunks in enumerate(per_group):
+        for j, (r, start, slots) in enumerate(chunks):
+            rows[g, j] = r
+            in_idx[g, j] = [start + i for i in range(V)]
+            for i, w in enumerate(slots):
+                if w >= 0:
+                    w_idx[g, j, i] = w
+                    w_valid[g, j, i] = 1
+    sched = GroupedSchedule(rows=rows, in_idx=in_idx, w_idx=w_idx,
+                            w_valid=w_valid, n_out_blocks=n_out_blocks,
+                            R=R, G=V)
+    sched.contiguous = True
+    return sched, inflation
+
+
+def _xprop_grouped_contig_kernel(CH, G, R, bsize, trans_w, precision,
+                                 rows_ref, idx_ref, x_ref, w_ref, out_ref,
+                                 acc_ref):
+    g = pl.program_id(1)
+    Gb = G * bsize
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for j in range(CH):
+        xs = x_ref[pl.ds(idx_ref[g, j * G] * bsize, Gb), :]    # (Gb, TN)
+        if trans_w:
+            wch = w_ref[0, j * bsize:(j + 1) * bsize, :]       # (b, Gb)
+            acc = jax.lax.dot_general(
+                wch, xs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        else:
+            wch = w_ref[0, j * Gb:(j + 1) * Gb, :]             # (Gb, b)
+            acc = jax.lax.dot_general(
+                wch, xs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        off = rows_ref[g, j] * bsize
+        acc_ref[pl.ds(off, bsize), :] += acc
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)

@@ -137,7 +137,8 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision,
 
     q = q_ref[0]                                    # (bs, hs)
     kcat = jnp.concatenate(
-        [k_ref[0, pl.ds(kidx_ref[h, s, i] * bs, bs), :] for i in range(E)],
+        [k_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
+         for i in range(E)],
         axis=0)                                     # (E*bs, hs)
     scores = jax.lax.dot_general(
         q, kcat, (((1,), (1,)), ((), ())),
@@ -152,7 +153,8 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision,
     l_new = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
     vcat = jnp.concatenate(
-        [v_ref[0, pl.ds(kidx_ref[h, s, i] * bs, bs), :] for i in range(E)],
+        [v_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
+         for i in range(E)],
         axis=0)                                     # (E*bs, hs)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), vcat, (((1,), (0,)), ((), ())),
@@ -230,5 +232,6 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
         interpret=use_interpret(),
     )
     return fn(jnp.asarray(sched.row), jnp.asarray(sched.first),
-              jnp.asarray(sched.last), jnp.asarray(sched.k_idx),
+              jnp.asarray(sched.last),
+              jnp.asarray(sched.k_idx.reshape(lut_heads, -1)),
               q, k, v, jnp.asarray(sched.mask_sched))

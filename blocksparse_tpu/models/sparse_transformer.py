@@ -1,0 +1,361 @@
+"""Sparse Transformer language model (the flagship model family).
+
+TPU-native re-design of the reference's enwik8 Sparse Transformer
+(/root/reference/examples/transformer/enwik8.py): layout-driven
+block-sparse attention (fixed/strided patterns with causal sub-block
+masks), optionally block-sparse MLPs, fused layer norm, fast-gelu,
+gradient recompute per block, mixed precision with dynamic loss scaling,
+and fused Adam with global-norm clipping.
+
+Parallelism (beyond the reference, which was data-parallel only):
+* dp: batch sharding, gradient psum.
+* tp: Megatron-style tensor parallelism — attention heads and MLP hidden
+  dim sharded over "tp"; the per-shard block-sparse layouts are identical
+  (SPMD requires one static schedule), so the global sparsity pattern is
+  the tp-tiling of the per-shard layout.
+
+All functions are pure; parameters are a flat dict pytree with a
+matching PartitionSpec tree for shard_map.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from blocksparse_tpu.ops.transformer import (
+    BlocksparseTransformer, softmax_cross_entropy,
+)
+from blocksparse_tpu.ops.matmul import BlocksparseMatMul
+from blocksparse_tpu.ops.norms import layer_norm
+from blocksparse_tpu.ops.ewops import fast_gelu, float_cast, dropout
+from blocksparse_tpu.ops.embed import embedding_lookup
+from blocksparse_tpu.ops.grads import recomputable
+from blocksparse_tpu.ops import optimize as opt
+from blocksparse_tpu.utils import ceil_div
+
+
+def causal_subblock_mask(blk_shape, head, qry, key, blk):
+    """Sub-block causal mask on the diagonal (reference enwik8.py:66-80)."""
+    mask = np.ones(blk_shape, dtype=bool)
+    if qry == key:
+        for q in range(blk_shape[0]):
+            mask[q, q + 1:] = 0
+    return mask
+
+
+def fixed_layout(ctx_blks, local_blocks=32, num_verts=4):
+    """'Fixed' Sparse-Transformer attention pattern (blockwise causal
+    local window + periodic summary columns), cf. reference
+    enwik8.py:82-94."""
+    layout = np.zeros((ctx_blks, ctx_blks), dtype=np.int32)
+    for q in range(ctx_blks):
+        lo = max(0, q - local_blocks + 1)
+        layout[q, lo:q + 1] = 1
+        for k in range(0, q, num_verts):
+            layout[q, k] = 1
+    return layout
+
+
+def strided_layout(ctx_blks, local_blocks=32, stride=None):
+    """'Strided' pattern: local band + strided history."""
+    stride = stride or max(1, int(np.sqrt(ctx_blks)))
+    layout = np.zeros((ctx_blks, ctx_blks), dtype=np.int32)
+    for q in range(ctx_blks):
+        lo = max(0, q - local_blocks + 1)
+        layout[q, lo:q + 1] = 1
+        k = q - stride
+        while k >= 0:
+            layout[q, k] = 1
+            k -= stride
+    return layout
+
+
+def dense_causal_layout(ctx_blks):
+    return np.tril(np.ones((ctx_blks, ctx_blks), dtype=np.int32))
+
+
+_LAYOUTS = {
+    "fixed": fixed_layout,
+    "strided": strided_layout,
+    "dense": dense_causal_layout,
+}
+
+
+@dataclass
+class TransformerConfig:
+    n_vocab: int = 256
+    n_embd: int = 512
+    n_layer: int = 6
+    n_head: int = 8
+    ctx: int = 2048
+    blk_size: int = 64
+    attn_layout: str = "fixed"        # fixed | strided | dense
+    local_blocks: int = 8
+    mlp_ratio: int = 4
+    mlp_block_size: int = 0           # 0 => dense MLP; else bsmm block size
+    mlp_density: float = 1.0
+    dtype: str = "bfloat16"           # compute dtype
+    recompute: bool = True
+    resid_pdrop: float = 0.0
+    tp: int = 1                       # tensor-parallel shards
+
+
+class SparseTransformerLM:
+    """Functional model object: builds static layouts/op objects once,
+    exposes init / loss / train_step builders."""
+
+    def __init__(self, config: TransformerConfig):
+        c = self.config = config
+        assert c.ctx % c.blk_size == 0
+        assert c.n_head % c.tp == 0
+        self.heads_local = c.n_head // c.tp
+        self.hs = c.n_embd // c.n_head
+        ctx_blks = c.ctx // c.blk_size
+
+        layout = _LAYOUTS[c.attn_layout](
+            ctx_blks, **({} if c.attn_layout == "dense"
+                         else {"local_blocks": c.local_blocks}))
+        self.bst = BlocksparseTransformer(
+            layout, block_size=c.blk_size, heads=self.heads_local,
+            mask_callback=causal_subblock_mask)
+
+        self.hidden = c.mlp_ratio * c.n_embd
+        self.hidden_local = self.hidden // c.tp
+        if c.mlp_block_size:
+            bs = c.mlp_block_size
+            CB = c.n_embd // bs
+            KB = self.hidden_local // bs
+            rng = np.random.RandomState(0)
+            lay1 = (rng.rand(CB, KB) < c.mlp_density).astype(np.int32)
+            lay1[np.arange(CB), np.arange(CB) % KB] = 1   # no empty rows
+            lay1[np.arange(KB) % CB, np.arange(KB)] = 1
+            self.bsmm1 = BlocksparseMatMul(lay1, block_size=bs,
+                                           feature_axis=1)
+            self.bsmm2 = BlocksparseMatMul(lay1.T.copy(), block_size=bs,
+                                           feature_axis=1)
+        else:
+            self.bsmm1 = self.bsmm2 = None
+
+    # ---------------- params ----------------
+
+    def init(self, key):
+        c = self.config
+        keys = jax.random.split(key, 4 + 4 * c.n_layer)
+        std = 0.02
+        params = {
+            "wte": jax.random.normal(keys[0], (c.n_vocab, c.n_embd)) * std,
+            "wpe": jax.random.normal(keys[1], (c.ctx, c.n_embd)) * std,
+            "lnf_g": jnp.ones((c.n_embd,)),
+            "lnf_b": jnp.zeros((c.n_embd,)),
+        }
+        for l in range(c.n_layer):
+            k = keys[4 + 4 * l: 8 + 4 * l]
+            proj_std = std / np.sqrt(2 * c.n_layer)
+            layer = {
+                "ln1_g": jnp.ones((c.n_embd,)),
+                "ln1_b": jnp.zeros((c.n_embd,)),
+                "ln2_g": jnp.ones((c.n_embd,)),
+                "ln2_b": jnp.zeros((c.n_embd,)),
+                # qkv sharded on output over tp
+                "w_qkv": jax.random.normal(
+                    k[0], (c.n_embd, 3 * c.n_embd)) * std,
+                "b_qkv": jnp.zeros((3 * c.n_embd,)),
+                # out proj sharded on input over tp
+                "w_out": jax.random.normal(
+                    k[1], (c.n_embd, c.n_embd)) * proj_std,
+                "b_out": jnp.zeros((c.n_embd,)),
+            }
+            if self.bsmm1 is not None:
+                layer["w_fc"] = jax.random.normal(
+                    k[2], (c.tp,) + self.bsmm1.w_shape) * std
+                layer["w_proj"] = jax.random.normal(
+                    k[3], (c.tp,) + self.bsmm2.w_shape) * proj_std
+            else:
+                layer["w_fc"] = jax.random.normal(
+                    k[2], (c.n_embd, self.hidden)) * std
+                layer["w_proj"] = jax.random.normal(
+                    k[3], (self.hidden, c.n_embd)) * proj_std
+            layer["b_fc"] = jnp.zeros((self.hidden,))
+            layer["b_proj"] = jnp.zeros((c.n_embd,))
+            params[f"h{l}"] = layer
+        return params
+
+    def param_specs(self):
+        """PartitionSpec tree for shard_map over mesh axes (dp, tp)."""
+        c = self.config
+        spec = {
+            "wte": P(None, None),
+            "wpe": P(None, None),
+            "lnf_g": P(None),
+            "lnf_b": P(None),
+        }
+        for l in range(c.n_layer):
+            layer = {
+                "ln1_g": P(None), "ln1_b": P(None),
+                "ln2_g": P(None), "ln2_b": P(None),
+                "w_qkv": P(None, "tp"), "b_qkv": P("tp"),
+                "w_out": P("tp", None), "b_out": P(None),
+                "b_fc": P("tp"), "b_proj": P(None),
+            }
+            if self.bsmm1 is not None:
+                layer["w_fc"] = P("tp", None, None, None)
+                layer["w_proj"] = P("tp", None, None, None)
+            else:
+                layer["w_fc"] = P(None, "tp")
+                layer["w_proj"] = P("tp", None)
+            spec[f"h{l}"] = layer
+        return spec
+
+    def grad_reduce_axes(self):
+        """For each param: mesh axes to psum grads over.  tp-sharded
+        params reduce over dp only; replicated params over (dp, tp)."""
+        specs = self.param_specs()
+
+        def axes(p):
+            named = {a for s in p if s for a in (s if isinstance(s, tuple)
+                                                else (s,))}
+            return ("dp",) if "tp" in named else ("dp", "tp")
+        return jax.tree_util.tree_map(axes, specs,
+                                      is_leaf=lambda x: isinstance(x, P))
+
+    # ---------------- forward ----------------
+
+    def _block(self, layer, x, dtype, tp_axis):
+        c = self.config
+        nd = jnp.dtype(dtype)
+
+        def attn(x):
+            h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], axis=-1)
+            h = float_cast(h, nd)
+            wq = float_cast(layer["w_qkv"], nd)
+            qkv = h @ wq + layer["b_qkv"].astype(nd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            scale = 1.0 / np.sqrt(self.hs)
+            a = self.bst.attention(q, k, v, scale=scale)
+            wo = float_cast(layer["w_out"], nd)
+            y = a @ wo
+            if tp_axis is not None:
+                y = jax.lax.psum(y, tp_axis)
+            return y + layer["b_out"].astype(nd)
+
+        def mlp(x):
+            h = layer_norm(x, layer["ln2_g"], layer["ln2_b"], axis=-1)
+            h = float_cast(h, nd)
+            if self.bsmm1 is not None:
+                w1 = float_cast(layer["w_fc"][0], nd)
+                h = self.bsmm1(h, w1)
+            else:
+                h = h @ float_cast(layer["w_fc"], nd)
+            h = fast_gelu(h + layer["b_fc"].astype(nd))
+            if self.bsmm2 is not None:
+                w2 = float_cast(layer["w_proj"][0], nd)
+                h = self.bsmm2(h, w2)
+            else:
+                h = h @ float_cast(layer["w_proj"], nd)
+            if tp_axis is not None:
+                h = jax.lax.psum(h, tp_axis)
+            return h + layer["b_proj"].astype(nd)
+
+        x = x + attn(x).astype(x.dtype)
+        x = x + mlp(x).astype(x.dtype)
+        return x
+
+    def forward(self, params, tokens, tp_axis=None):
+        """tokens (batch, ctx) int32 -> logits (batch, ctx, n_vocab) f32."""
+        c = self.config
+        nd = jnp.dtype(c.dtype)
+        x = embedding_lookup(params["wte"], tokens) \
+            + params["wpe"][None, :tokens.shape[1]]
+        x = x.astype(jnp.float32)
+
+        for l in range(c.n_layer):
+            blk = lambda x, layer=params[f"h{l}"]: \
+                self._block(layer, x, nd, tp_axis)
+            if c.recompute:
+                x = jax.checkpoint(blk)(x)
+            else:
+                x = blk(x)
+
+        h = layer_norm(x, params["lnf_g"], params["lnf_b"], axis=-1)
+        logits = h.astype(nd) @ float_cast(params["wte"], nd).T
+        return logits.astype(jnp.float32)
+
+    def loss(self, params, tokens, targets, tp_axis=None):
+        logits = self.forward(params, tokens, tp_axis=tp_axis)
+        losses = softmax_cross_entropy(logits=logits, labels=targets)
+        return jnp.mean(losses)
+
+    # ---------------- training ----------------
+
+    def make_train_step(self, optimizer: opt.AdamOptimizer, mesh=None,
+                        clip_norm=1.0):
+        """Returns train_step(params, opt_state, tokens, targets,
+        loss_scale) -> (params, opt_state, metrics, loss_scale).
+
+        With a mesh: runs under shard_map over (dp, tp) with gradient
+        psums and dynamic loss scaling (reference enwik8.py:374-397 —
+        norm_scale==0 skips the update and halves the scale)."""
+        model = self
+
+        def local_step(params, opt_state, tokens, targets, loss_scale,
+                       dp_axis=None, tp_axis=None):
+            def scaled_loss(p):
+                l = model.loss(p, tokens, targets, tp_axis=tp_axis)
+                return l * loss_scale
+
+            loss_val, grads = jax.value_and_grad(scaled_loss)(params)
+
+            if dp_axis is not None:
+                reduce_axes = model.grad_reduce_axes()
+                grads = jax.tree_util.tree_map(
+                    lambda g, ax: jax.lax.psum(g, ax),
+                    grads, reduce_axes,
+                    is_leaf=lambda x: isinstance(x, tuple))
+                nshards = jax.lax.psum(1, dp_axis)
+                grads = jax.tree_util.tree_map(lambda g: g / nshards, grads)
+                loss_val = jax.lax.pmean(loss_val, dp_axis)
+
+            gn, norm_scale = opt.clip_by_global_norm(
+                jax.tree_util.tree_leaves(grads), clip_norm=clip_norm,
+                grad_scale=1.0 / loss_scale, zero_infs=False,
+                zero_nans=False)
+
+            new_params, new_state = optimizer.apply(
+                grads, params, opt_state, norm_scale=norm_scale,
+                grad_scale=1.0 / loss_scale)
+
+            # dynamic loss scaling (reference enwik8.py:374-397)
+            ok = norm_scale > 0.0
+            new_scale = jnp.where(ok,
+                                  jnp.minimum(loss_scale * (2.0 ** (1 / 2000)),
+                                              2.0 ** 24),
+                                  jnp.maximum(loss_scale * 0.5, 1.0))
+            metrics = {"loss": loss_val / loss_scale, "grad_norm": gn,
+                       "norm_scale": norm_scale}
+            return new_params, new_state, metrics, new_scale
+
+        if mesh is None:
+            return jax.jit(local_step)
+
+        from jax import shard_map
+        pspecs = self.param_specs()
+        opt_specs = {
+            "mean": pspecs, "var": pspecs, "t": P(),
+        }
+
+        step = partial(local_step, dp_axis="dp", tp_axis="tp")
+        smapped = shard_map(
+            step, mesh=mesh,
+            in_specs=(pspecs, opt_specs, P("dp", None), P("dp", None), P()),
+            out_specs=(pspecs, opt_specs,
+                       {"loss": P(), "grad_norm": P(), "norm_scale": P()},
+                       P()),
+            check_vma=False,
+        )
+        return jax.jit(smapped)

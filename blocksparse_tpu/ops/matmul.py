@@ -28,8 +28,10 @@ from blocksparse_tpu.kernels.bsmm import (
     XpropSchedule, build_xprop_schedule, build_updat_schedule,
     build_grouped_schedule, build_updat_grouped_schedule,
     default_rows_per_group, choose_contract_blocks, resident_fits,
-    grouped_vmem_estimate, CONTRACT,
+    grouped_vmem_estimate, packed_len, packed_positions,
+    fprop_panels_from_packed, build_supertile_schedule, CONTRACT,
 )
+import copy as _copy
 from blocksparse_tpu.kernels.common import pick_tile
 
 
@@ -61,14 +63,21 @@ class BlocksparseMatMul:
         self.__init__(*state)
 
     def __init__(self, layout, block_size=32, feature_axis=0, z_order=True,
-                 name=None, impl=None, tile_n=None):
+                 name=None, impl=None, tile_n=None, w_layout="blocks"):
+        """w_layout="fprop_packed" stores weights in fprop schedule order
+        (zero padding blocks included): the fprop weight panels become a
+        free reshape instead of a gather — about 3 fewer W-sized HBM
+        passes per fprop.  w_shape changes accordingly; use
+        pack_weights/unpack_weights to convert."""
         if block_size not in (8, 16, 32, 64):
             raise ValueError("Unsupported block size: %d" % block_size)
+        assert w_layout in ("blocks", "fprop_packed")
         self.axis = feature_axis
         self.bsize = block_size
         self.z_order = z_order
         self.impl = impl
         self.tile_n = tile_n
+        self.w_layout = w_layout
 
         assert len(layout.shape) == 2
         CB, KB = layout.shape
@@ -120,8 +129,31 @@ class BlocksparseMatMul:
         self.updat_sched = build_updat_schedule(updat_list, G_b)
         R_f = default_rows_per_group(block_size, KB, blocks / KB)
         R_b = default_rows_per_group(block_size, CB, blocks / CB)
-        self.fprop_grouped = build_grouped_schedule(fprop_rows, KB, G_f, R_f)
-        self.bprop_grouped = build_grouped_schedule(bprop_rows, CB, G_b, R_b)
+        # Two grouped-kernel modes per direction: supertile (contiguous
+        # 128-row x slices, zero-padded weights — no in-kernel gather)
+        # when the layout has input-side locality, else gathered chunks.
+        SUPERTILE_MAX_INFLATION = 1.8
+        from blocksparse_tpu.kernels.bsmm import supertile_rows
+        _, infl_f = supertile_rows(fprop_rows, block_size)
+        _, infl_b = supertile_rows(bprop_rows, block_size)
+        # group size budgeted on the inflated (zero-padded) panel bytes
+        R_fs = default_rows_per_group(block_size, KB,
+                                      infl_f * blocks / KB)
+        R_bs = default_rows_per_group(block_size, CB,
+                                      infl_b * blocks / CB)
+        if infl_f <= SUPERTILE_MAX_INFLATION:
+            self.fprop_grouped, _ = build_supertile_schedule(
+                fprop_rows, KB, block_size, R_fs)
+        else:
+            self.fprop_grouped = build_grouped_schedule(fprop_rows, KB, G_f,
+                                                        R_f)
+        if infl_b <= SUPERTILE_MAX_INFLATION:
+            self.bprop_grouped, _ = build_supertile_schedule(
+                bprop_rows, CB, block_size, R_bs)
+        else:
+            self.bprop_grouped = build_grouped_schedule(bprop_rows, CB, G_b,
+                                                        R_b)
+        self.supertile_inflation = (infl_f, infl_b)
         self.updat_grouped = build_updat_grouped_schedule(updat_list, G_b)
 
         # flat sorted entry arrays for the XLA fallback impl
@@ -145,7 +177,27 @@ class BlocksparseMatMul:
         self.name = name or "BlocksparseMatMul"
         self.blocks = blocks
         self.flops = blocks * block_size * block_size * 2
-        self.w_shape = (blocks, block_size, block_size)
+        if w_layout == "fprop_packed":
+            self.packed_blocks = packed_len(self.fprop_grouped)
+            self._packed_pos = packed_positions(self.fprop_grouped, blocks)
+            # bprop schedule remapped to packed slot ids
+            bg = _copy.copy(self.bprop_grouped)
+            bg.w_idx = self._packed_pos[self.bprop_grouped.w_idx]
+            self.bprop_grouped_packed = bg
+            bs_ = _copy.copy(self.bprop_sched)
+            bs_.w_idx = self._packed_pos[self.bprop_sched.w_idx]
+            self.bprop_sched_packed = bs_
+            # updat schedule emitting grads straight into packed slots
+            ug = _copy.copy(self.updat_grouped)
+            S2G = ug.groups * ug.CH * ug.G
+            perm_packed = np.full(self.packed_blocks, S2G, np.int32)
+            perm_packed[self._packed_pos] = ug.perm
+            ug.perm = perm_packed
+            ug.pad_zero = True
+            self.updat_grouped_packed = ug
+            self.w_shape = (self.packed_blocks, block_size, block_size)
+        else:
+            self.w_shape = (blocks, block_size, block_size)
         self.g_shape = (blocks,)
         self.CB, self.KB = CB, KB
         self.C = CB * block_size
@@ -283,7 +335,8 @@ class BlocksparseMatMul:
             return B.reshape(-1, N)
 
     def updat_test(self, I, E, gate=None, dw_gated=False):
-        U = np.zeros(self.w_shape)
+        # always canonical (blocks, b, b), even in packed-weight mode
+        U = np.zeros((self.blocks, self.bsize, self.bsize))
         bsize = self.bsize
         if self.axis:
             I = I.reshape((-1, self.CB, bsize))
@@ -361,6 +414,40 @@ class BlocksparseMatMul:
                 return None
             TN //= 2
 
+    # ---------------- packed weight conversions ----------------
+
+    def pack_weights(self, w):
+        """(blocks, b, b) canonical -> fprop-packed layout (NumPy or jnp)."""
+        assert self.w_layout == "fprop_packed"
+        if isinstance(w, np.ndarray):
+            out = np.zeros(self.w_shape, w.dtype)
+            out[self._packed_pos] = w
+            return out
+        out = jnp.zeros(self.w_shape, w.dtype)
+        return out.at[jnp.asarray(self._packed_pos)].set(w)
+
+    def unpack_weights(self, w_packed):
+        assert self.w_layout == "fprop_packed"
+        if isinstance(w_packed, np.ndarray):
+            return w_packed[self._packed_pos]
+        return w_packed[jnp.asarray(self._packed_pos)]
+
+    def _canonical_w(self, w):
+        return self.unpack_weights(w) if self.w_layout == "fprop_packed" \
+            else w
+
+    def _pad_rows_for(self, x, sched):
+        """Contiguous-supertile slices must stay in bounds: pad feature
+        rows to a supertile multiple (zero rows x zero weights = 0)."""
+        if not getattr(sched, "contiguous", False):
+            return x
+        span = sched.G * self.bsize
+        rows = x.shape[0]
+        pad = (-rows) % span
+        if pad == 0:
+            return x
+        return jnp.pad(x, ((0, pad), (0, 0)))
+
     def _pallas_pad(self, x, axis_is_last):
         """Pad the batch dim so a clean lane tile exists."""
         n = x.shape[1] if axis_is_last else x.shape[0]
@@ -381,17 +468,25 @@ class BlocksparseMatMul:
             TN = self._grouped_tile(self.C, self.fprop_grouped, xp.shape[1],
                                     xp.dtype.itemsize)
             if TN is not None:
-                y = bsmm_kernels.xprop_pallas_grouped(
-                    xp, w, self.fprop_grouped, self.bsize, False,
-                    tile_n=TN, out_dtype=x.dtype)
+                xp = self._pad_rows_for(xp, self.fprop_grouped)
+                if self.w_layout == "fprop_packed":
+                    panels = fprop_panels_from_packed(w, self.fprop_grouped)
+                    y = bsmm_kernels.xprop_pallas_grouped_panels(
+                        xp, panels, self.fprop_grouped, self.bsize, False,
+                        tile_n=TN, out_dtype=x.dtype)
+                else:
+                    y = bsmm_kernels.xprop_pallas_grouped(
+                        xp, w, self.fprop_grouped, self.bsize, False,
+                        tile_n=TN, out_dtype=x.dtype)
             else:
                 y = bsmm_kernels.xprop_pallas(
-                    xp, w, self.fprop_sched, self.bsize, False, self.KB,
-                    tile_n=self.tile_n)
+                    xp, self._canonical_w(w), self.fprop_sched, self.bsize,
+                    False, self.KB, tile_n=self.tile_n)
             y = y[:, :n0].astype(x.dtype)
             return y if self.axis == 0 else y.T
         ib, wb, ob = self._fprop_flat
-        return bsmm_kernels.xprop_xla(x, w, ib, wb, ob, self.KB, self.bsize,
+        return bsmm_kernels.xprop_xla(x, self._canonical_w(w), ib, wb, ob,
+                                      self.KB, self.bsize,
                                       self.axis, False, out_dtype=x.dtype)
 
     def _bprop_impl(self, dy, w):
@@ -402,17 +497,21 @@ class BlocksparseMatMul:
             TN = self._grouped_tile(self.K, self.bprop_grouped, dyp.shape[1],
                                     dyp.dtype.itemsize)
             if TN is not None:
+                bsched = self.bprop_grouped_packed \
+                    if self.w_layout == "fprop_packed" else self.bprop_grouped
+                dyp = self._pad_rows_for(dyp, bsched)
                 dx = bsmm_kernels.xprop_pallas_grouped(
-                    dyp, w, self.bprop_grouped, self.bsize, True,
+                    dyp, w, bsched, self.bsize, True,
                     tile_n=TN, out_dtype=dy.dtype)
             else:
                 dx = bsmm_kernels.xprop_pallas(
-                    dyp, w, self.bprop_sched, self.bsize, True, self.CB,
-                    tile_n=self.tile_n)
+                    dyp, self._canonical_w(w), self.bprop_sched, self.bsize,
+                    True, self.CB, tile_n=self.tile_n)
             dx = dx[:, :n0].astype(dy.dtype)
             return dx if self.axis == 0 else dx.T
         ib, wb, ob = self._bprop_flat
-        return bsmm_kernels.xprop_xla(dy, w, ib, wb, ob, self.CB, self.bsize,
+        return bsmm_kernels.xprop_xla(dy, self._canonical_w(w), ib, wb, ob,
+                                      self.CB, self.bsize,
                                       self.axis, True, out_dtype=dy.dtype)
 
     def _updat_impl(self, x, dy):
@@ -431,13 +530,23 @@ class BlocksparseMatMul:
                 est = (2 * (self.C + self.K) * TN * xp.dtype.itemsize
                        + 2 * usch.CH * usch.G * self.bsize * self.bsize * 4)
             if est <= 13 * 1024 * 1024:
+                usched2 = self.updat_grouped_packed \
+                    if self.w_layout == "fprop_packed" else self.updat_grouped
                 return bsmm_kernels.updat_pallas_grouped(
-                    xp, dyp, self.updat_grouped, self.bsize, self.blocks,
+                    xp, dyp, usched2, self.bsize, self.blocks,
                     tile_n=TN)
-            return bsmm_kernels.updat_pallas(xp, dyp, self.updat_lut,
-                                             self.bsize, tile_n=self.tile_n)
-        return bsmm_kernels.updat_xla(x, dy, self.updat_lut, self.bsize,
-                                      self.axis)
+            dw = bsmm_kernels.updat_pallas(xp, dyp, self.updat_lut,
+                                           self.bsize, tile_n=self.tile_n)
+            return self._repack_dw(dw)
+        return self._repack_dw(bsmm_kernels.updat_xla(
+            x, dy, self.updat_lut, self.bsize, self.axis))
+
+    def _repack_dw(self, dw_canonical):
+        """Scatter a canonical (blocks,b,b) dw into packed layout."""
+        if self.w_layout != "fprop_packed":
+            return dw_canonical
+        out = jnp.zeros(self.w_shape, dw_canonical.dtype)
+        return out.at[jnp.asarray(self._packed_pos)].set(dw_canonical)
 
     # ---------------- public call ----------------
 
@@ -500,10 +609,17 @@ class BlocksparseMatMul:
             return cache[key]
         op = self
 
+        def expand_gate(gate):
+            if op.w_layout != "fprop_packed":
+                return gate
+            out = jnp.zeros((op.w_shape[0],), gate.dtype)
+            return out.at[jnp.asarray(op._packed_pos)].set(gate)
+
         @jax.custom_vjp
         def bsmm_gated(x, w, gate):
+            gf = expand_gate(gate)
             wg = (w.astype(jnp.float32)
-                  * gate.astype(jnp.float32)[:, None, None]).astype(w.dtype)
+                  * gf.astype(jnp.float32)[:, None, None]).astype(w.dtype)
             return op._fprop_impl(x, wg)
 
         def fwd(x, w, gate):
@@ -511,16 +627,22 @@ class BlocksparseMatMul:
 
         def bwd(res, dy):
             x, w, gate = res
+            gf = expand_gate(gate)
             wg = (w.astype(jnp.float32)
-                  * gate.astype(jnp.float32)[:, None, None]).astype(w.dtype)
+                  * gf.astype(jnp.float32)[:, None, None]).astype(w.dtype)
             dx = op._bprop_impl(dy, wg).astype(x.dtype)
             dw_raw = op._updat_impl(x, dy)
             if dw_gated:
-                dw = dw_raw * gate.astype(jnp.float32)[:, None, None]
+                dw = dw_raw * gf.astype(jnp.float32)[:, None, None]
             else:
                 dw = dw_raw
             if gate_grad:
-                dg = jnp.sum(dw_raw * w.astype(jnp.float32), axis=(1, 2))
+                dg_full = jnp.sum(dw_raw * w.astype(jnp.float32),
+                                  axis=(1, 2))
+                if op.w_layout == "fprop_packed":
+                    dg = dg_full[jnp.asarray(op._packed_pos)]
+                else:
+                    dg = dg_full
             else:
                 dg = jnp.zeros_like(gate)
             return dx, dw.astype(w.dtype), dg.astype(gate.dtype)

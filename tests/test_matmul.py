@@ -183,3 +183,93 @@ def test_pickle_roundtrip():
     b2 = pickle.loads(pickle.dumps(bsmm))
     assert b2.blocks == bsmm.blocks
     assert np.array_equal(b2.updat_lut, bsmm.updat_lut)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_packed_weights(impl):
+    layout = random_layout(6, 8, 0.4, seed=21)
+    ref = BlocksparseMatMul(layout, block_size=16, feature_axis=0, impl=impl)
+    pk = BlocksparseMatMul(layout, block_size=16, feature_axis=0, impl=impl,
+                           w_layout="fprop_packed")
+    N = 64
+    X = np.random.uniform(-1, 1, ref.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, ref.o_shape(N)).astype(np.float32)
+    W = np.random.uniform(-1, 1, ref.w_shape).astype(np.float32)
+    Wp = pk.pack_weights(W)
+    assert Wp.shape == pk.w_shape
+    np.testing.assert_allclose(pk.unpack_weights(Wp), W)
+
+    def loss(bsmm, x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y1), (dx1, dw1) = jax.value_and_grad(
+        lambda x, w: loss(ref, x, w), argnums=(0, 1), has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W))
+    (_, Y2), (dx2, dw2) = jax.value_and_grad(
+        lambda x, w: loss(pk, x, w), argnums=(0, 1), has_aux=True)(
+        jnp.asarray(X), jnp.asarray(Wp))
+
+    np.testing.assert_allclose(np.asarray(Y2), np.asarray(Y1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk.unpack_weights(dw2)),
+                               np.asarray(dw1), rtol=1e-4, atol=1e-4)
+    # padding slots get exactly zero grads
+    mask = np.ones(pk.w_shape[0], bool)
+    mask[pk._packed_pos] = False
+    np.testing.assert_allclose(np.asarray(dw2)[mask], 0.0)
+
+
+def test_packed_gated():
+    layout = random_layout(4, 4, 0.5, seed=23)
+    ref = BlocksparseMatMul(layout, block_size=16, feature_axis=0, impl="xla")
+    pk = BlocksparseMatMul(layout, block_size=16, feature_axis=0, impl="xla",
+                           w_layout="fprop_packed")
+    N = 32
+    X = np.random.uniform(-1, 1, ref.i_shape(N)).astype(np.float32)
+    W = np.random.uniform(-1, 1, ref.w_shape).astype(np.float32)
+    gate = (np.random.rand(ref.blocks) > 0.4).astype(np.float32)
+    Y1 = ref(jnp.asarray(X), jnp.asarray(W), gate=jnp.asarray(gate))
+    Y2 = pk(jnp.asarray(X), jnp.asarray(pk.pack_weights(W)),
+            gate=jnp.asarray(gate))
+    np.testing.assert_allclose(np.asarray(Y2), np.asarray(Y1),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pallas"])
+@pytest.mark.parametrize("packed", [False, True])
+def test_supertile_banded_layout(impl, packed):
+    """Banded layout triggers the contiguous-supertile kernel."""
+    CB = KB = 16
+    layout = np.zeros((CB, KB), np.int32)
+    for i in range(CB):
+        for j in range(max(0, i - 3), min(KB, i + 4)):
+            layout[i, j] = 1
+    kw = dict(w_layout="fprop_packed") if packed else {}
+    bsmm = BlocksparseMatMul(layout, block_size=32, feature_axis=0,
+                             impl=impl, **kw)
+    assert getattr(bsmm.fprop_grouped, "contiguous", False), \
+        bsmm.supertile_inflation
+    N = 64
+    X = np.random.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    W_can = np.random.uniform(-1, 1,
+                              (bsmm.blocks, 32, 32)).astype(np.float32)
+    W = bsmm.pack_weights(W_can) if packed else W_can
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W_can),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W_can),
+                               rtol=1e-4, atol=1e-4)
+    dw = bsmm.unpack_weights(np.asarray(DW)) if packed else np.asarray(DW)
+    np.testing.assert_allclose(dw, bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,92 @@
+"""Flagship model: forward, loss, single-host train step, sharded train
+step on the simulated 8-device mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blocksparse_tpu.models import SparseTransformerLM, TransformerConfig
+from blocksparse_tpu.ops.optimize import AdamOptimizer
+from blocksparse_tpu.parallel import make_mesh
+
+
+def tiny_config(**kw):
+    base = dict(n_vocab=64, n_embd=64, n_layer=2, n_head=4, ctx=64,
+                blk_size=16, attn_layout="fixed", local_blocks=2,
+                mlp_ratio=2, dtype="float32", recompute=True)
+    base.update(kw)
+    return TransformerConfig(**base)
+
+
+def test_forward_and_loss():
+    model = SparseTransformerLM(tiny_config())
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.random.randint(0, 64, (2, 64)))
+    logits = model.forward(params, tokens)
+    assert logits.shape == (2, 64, 64)
+    loss = model.loss(params, tokens, tokens)
+    assert np.isfinite(float(loss))
+
+
+def test_sparse_mlp_forward():
+    model = SparseTransformerLM(tiny_config(mlp_block_size=16,
+                                            mlp_density=0.5))
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["h0"]["w_fc"].ndim == 4  # (tp, blocks, bs, bs)
+    tokens = jnp.asarray(np.random.randint(0, 64, (2, 64)))
+    loss = model.loss(params, tokens, tokens)
+    assert np.isfinite(float(loss))
+
+
+def test_train_step_single():
+    model = SparseTransformerLM(tiny_config())
+    params = model.init(jax.random.PRNGKey(0))
+    optm = AdamOptimizer(learning_rate=1e-3)
+    state = optm.init(params)
+    step = model.make_train_step(optm)
+    tokens = jnp.asarray(np.random.randint(0, 64, (2, 64)))
+    scale = jnp.asarray(128.0)
+
+    p1, s1, m1, sc1 = step(params, state, tokens, tokens, scale)
+    p2, s2, m2, sc2 = step(p1, s1, tokens, tokens, sc1)
+    assert float(m2["loss"]) < float(m1["loss"]) + 1.0
+    assert np.isfinite(float(m2["loss"]))
+    # params actually moved
+    assert not np.allclose(np.asarray(p1["wte"]), np.asarray(params["wte"]))
+
+
+def test_train_step_sharded_dp_tp():
+    mesh = make_mesh(dp=4, tp=2)
+    model = SparseTransformerLM(tiny_config(tp=2, mlp_block_size=16,
+                                            mlp_density=0.5))
+    params = model.init(jax.random.PRNGKey(0))
+    optm = AdamOptimizer(learning_rate=1e-3)
+    state = optm.init(params)
+    step = model.make_train_step(optm, mesh=mesh)
+    tokens = jnp.asarray(np.random.randint(0, 64, (4, 64)))
+    scale = jnp.asarray(32768.0)
+
+    with mesh:
+        p1, s1, m1, sc1 = step(params, state, tokens, tokens, scale)
+        p2, s2, m2, sc2 = step(p1, s1, tokens, tokens, sc1)
+    assert np.isfinite(float(m1["loss"]))
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m1["norm_scale"]) > 0
+
+
+def test_loss_scale_recovery():
+    """Inf gradients -> norm_scale 0 -> update skipped, scale halved."""
+    model = SparseTransformerLM(tiny_config())
+    params = model.init(jax.random.PRNGKey(0))
+    # poison a weight to create nan loss / grads
+    params["h0"]["w_qkv"] = params["h0"]["w_qkv"].at[0, 0].set(jnp.inf)
+    optm = AdamOptimizer(learning_rate=1e-3)
+    state = optm.init(params)
+    step = model.make_train_step(optm)
+    tokens = jnp.asarray(np.random.randint(0, 64, (2, 64)))
+    scale = jnp.asarray(1024.0)
+    p1, s1, m1, sc1 = step(params, state, tokens, tokens, scale)
+    assert float(m1["norm_scale"]) == 0.0
+    assert float(sc1) == 512.0
+    # params unchanged on skipped step (besides the poisoned value)
+    np.testing.assert_allclose(np.asarray(p1["wpe"]),
+                               np.asarray(params["wpe"]))

@@ -3,7 +3,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from blocksparse_tpu.parallel import (
     make_mesh, allreduce, group_allreduce, reduce_scatter, all_gather,
@@ -109,7 +109,7 @@ def test_dp_training_step():
         return w2
 
     f = shard_map(step, mesh=mesh, in_specs=(P(None, None), P("dp", None, None)),
-                  out_specs=P(None, None), check_rep=False)
+                  out_specs=P(None, None), check_vma=False)
     w2 = f(W, X)
     # parameters stay replicated-consistent
     assert w2.shape == W.shape

@@ -645,6 +645,9 @@ def _gather_w_grouped(w, sched: GroupedSchedule, trans_w: bool):
     return panels.reshape(sched.groups, sched.CH * sched.G * b, b)
 
 
+UNROLL_MAX_CH = 16  # above this, loop in-kernel to bound compile time
+
+
 def _xprop_grouped_kernel(CH, G, R, bsize, trans_w, precision,
                           rows_ref, idx_ref, x_ref, w_ref, out_ref, acc_ref):
     # idx_ref is (groups, CH*G): SMEM scalar arrays are lane-padded to
@@ -652,22 +655,32 @@ def _xprop_grouped_kernel(CH, G, R, bsize, trans_w, precision,
     g = pl.program_id(1)
     Gb = G * bsize
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for j in range(CH):
+
+    def chunk(j):
         xcat = jnp.concatenate(
             [x_ref[pl.ds(idx_ref[g, j * G + i] * bsize, bsize), :]
              for i in range(G)], axis=0)                       # (Gb, TN)
         if trans_w:
-            wch = w_ref[0, j * bsize:(j + 1) * bsize, :]       # (b, Gb)
+            wch = w_ref[0, pl.ds(j * bsize, bsize), :]         # (b, Gb)
             acc = jax.lax.dot_general(
                 wch, xcat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
         else:
-            wch = w_ref[0, j * Gb:(j + 1) * Gb, :]             # (Gb, b)
+            wch = w_ref[0, pl.ds(j * Gb, Gb), :]               # (Gb, b)
             acc = jax.lax.dot_general(
                 wch, xcat, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
         off = rows_ref[g, j] * bsize
         acc_ref[pl.ds(off, bsize), :] += acc
+
+    if CH <= UNROLL_MAX_CH:
+        for j in range(CH):
+            chunk(j)
+    else:
+        def body(j, carry):
+            chunk(j)
+            return carry
+        jax.lax.fori_loop(0, CH, body, 0)
     out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
@@ -793,14 +806,23 @@ def _updat_grouped_kernel(CH, G, bsize, precision, cb_ref, kb_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    for j in range(CH):
+    def chunk(j):
         xblk = x_ref[pl.ds(cb_ref[g, j] * bsize, bsize), :]    # (b, TN)
         dycat = jnp.concatenate(
             [dy_ref[pl.ds(kb_ref[g, j * G + i] * bsize, bsize), :]
              for i in range(G)], axis=0)                       # (Gb, TN)
-        out_ref[0, j * bsize:(j + 1) * bsize, :] += jax.lax.dot_general(
+        out_ref[0, pl.ds(j * bsize, bsize), :] += jax.lax.dot_general(
             xblk, dycat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
+
+    if CH <= UNROLL_MAX_CH:
+        for j in range(CH):
+            chunk(j)
+    else:
+        def body(j, carry):
+            chunk(j)
+            return carry
+        jax.lax.fori_loop(0, CH, body, 0)
 
 
 def updat_pallas_grouped(x, dy, sched: UpdatGroupedSchedule, bsize: int,
@@ -1015,18 +1037,28 @@ def _xprop_grouped_contig_kernel(CH, G, R, bsize, trans_w, precision,
     g = pl.program_id(1)
     Gb = G * bsize
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for j in range(CH):
+
+    def chunk(j):
         xs = x_ref[pl.ds(idx_ref[g, j * G] * bsize, Gb), :]    # (Gb, TN)
         if trans_w:
-            wch = w_ref[0, j * bsize:(j + 1) * bsize, :]       # (b, Gb)
+            wch = w_ref[0, pl.ds(j * bsize, bsize), :]         # (b, Gb)
             acc = jax.lax.dot_general(
                 wch, xs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
         else:
-            wch = w_ref[0, j * Gb:(j + 1) * Gb, :]             # (Gb, b)
+            wch = w_ref[0, pl.ds(j * Gb, Gb), :]               # (Gb, b)
             acc = jax.lax.dot_general(
                 wch, xs, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
         off = rows_ref[g, j] * bsize
         acc_ref[pl.ds(off, bsize), :] += acc
+
+    if CH <= UNROLL_MAX_CH:
+        for j in range(CH):
+            chunk(j)
+    else:
+        def body(j, carry):
+            chunk(j)
+            return carry
+        jax.lax.fori_loop(0, CH, body, 0)
     out_ref[...] = acc_ref[...].astype(out_ref.dtype)

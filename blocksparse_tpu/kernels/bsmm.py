@@ -574,16 +574,33 @@ class GroupedSchedule:
         return self.rows.shape[1]
 
 
+NATIVE_MIN_NNZ = 20000  # below this the Python builders are fine
+
+
 def build_grouped_schedule(entries_per_row, n_out_blocks: int, G: int,
-                           R: int) -> GroupedSchedule:
+                           R: int, flat=None) -> GroupedSchedule:
+    """flat: optional (in_blk, w_id, row_of) arrays (entries sorted by
+    row) enabling the native C++ builder for large layouts."""
+    if flat is not None and flat[0].shape[0] >= NATIVE_MIN_NNZ:
+        from blocksparse_tpu import native
+        out = native.grouped_schedule(flat[2], flat[0], flat[1],
+                                      n_out_blocks, G, R)
+        if out is not None:
+            rows, in_idx, w_idx, w_valid = out
+            return GroupedSchedule(rows=rows, in_idx=in_idx, w_idx=w_idx,
+                                   w_valid=w_valid,
+                                   n_out_blocks=n_out_blocks, R=R, G=G)
     groups = -(-n_out_blocks // R)
     per_group = []
     for g in range(groups):
         chunks = []
         for r in range(R):
             row = g * R + r
-            ents = entries_per_row[row] if row < n_out_blocks else []
-            # every row emits >=1 chunk so empty rows still get zeroed
+            if row >= n_out_blocks:
+                break  # out-of-range rows in the last group emit nothing
+            ents = entries_per_row[row]
+            # every in-range row emits >=1 chunk (empty rows stay zeroed
+            # by the kernel's accumulator init)
             nch = max(1, -(-len(ents) // G))
             for s in range(nch):
                 chunk = ents[s * G:(s + 1) * G]
@@ -995,17 +1012,32 @@ def supertile_rows(entries_per_row, bsize):
     return new_rows, inflation
 
 
-def build_supertile_schedule(entries_per_row, n_out_blocks, bsize, R):
+def build_supertile_schedule(entries_per_row, n_out_blocks, bsize, R,
+                             flat=None):
     """GroupedSchedule where every chunk is one contiguous supertile."""
-    st_rows, inflation = supertile_rows(entries_per_row, bsize)
     V = max(1, CONTRACT // bsize)
+    if flat is not None and flat[0].shape[0] >= NATIVE_MIN_NNZ:
+        from blocksparse_tpu import native
+        out = native.supertile_schedule(flat[2], flat[0], flat[1],
+                                        n_out_blocks, V, R)
+        if out is not None:
+            rows, in_idx, w_idx, w_valid, padded = out
+            sched = GroupedSchedule(rows=rows, in_idx=in_idx, w_idx=w_idx,
+                                    w_valid=w_valid,
+                                    n_out_blocks=n_out_blocks, R=R, G=V)
+            sched.contiguous = True
+            inflation = padded / max(flat[0].shape[0], 1)
+            return sched, inflation
+    st_rows, inflation = supertile_rows(entries_per_row, bsize)
     groups = -(-n_out_blocks // R)
     per_group = []
     for g in range(groups):
         chunks = []
         for r in range(R):
             row = g * R + r
-            tiles = st_rows[row] if row < n_out_blocks else []
+            if row >= n_out_blocks:
+                break
+            tiles = st_rows[row]
             if not tiles:
                 tiles = [(0, [-1] * V)]
             for (start, slots) in tiles:

@@ -141,18 +141,30 @@ class BlocksparseMatMul:
                                       infl_f * blocks / KB)
         R_bs = default_rows_per_group(block_size, CB,
                                       infl_b * blocks / CB)
+        def _flat0(rows):
+            ib, wb, ob = [], [], []
+            for r, lut in enumerate(rows):
+                for (i, w) in lut:
+                    ib.append(i)
+                    wb.append(w)
+                    ob.append(r)
+            return (np.array(ib, np.int32), np.array(wb, np.int32),
+                    np.array(ob, np.int32))
+
+        flat_f = _flat0(fprop_rows)
+        flat_b = _flat0(bprop_rows)
         if infl_f <= SUPERTILE_MAX_INFLATION:
             self.fprop_grouped, _ = build_supertile_schedule(
-                fprop_rows, KB, block_size, R_fs)
+                fprop_rows, KB, block_size, R_fs, flat=flat_f)
         else:
             self.fprop_grouped = build_grouped_schedule(fprop_rows, KB, G_f,
-                                                        R_f)
+                                                        R_f, flat=flat_f)
         if infl_b <= SUPERTILE_MAX_INFLATION:
             self.bprop_grouped, _ = build_supertile_schedule(
-                bprop_rows, CB, block_size, R_bs)
+                bprop_rows, CB, block_size, R_bs, flat=flat_b)
         else:
             self.bprop_grouped = build_grouped_schedule(bprop_rows, CB, G_b,
-                                                        R_b)
+                                                        R_b, flat=flat_b)
         self.supertile_inflation = (infl_f, infl_b)
         self.updat_grouped = build_updat_grouped_schedule(updat_list, G_b)
 
@@ -167,8 +179,8 @@ class BlocksparseMatMul:
             return (np.array(ib, np.int32), np.array(wb, np.int32),
                     np.array(ob, np.int32))
 
-        self._fprop_flat = _flat(fprop_rows)
-        self._bprop_flat = _flat(bprop_rows)
+        self._fprop_flat = flat_f
+        self._bprop_flat = flat_b
 
         # kb id of each block (for l2_normalize / column reductions)
         self._block_kb = np.array([k for _, k in updat_list], dtype=np.int32)

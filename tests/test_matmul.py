@@ -273,3 +273,63 @@ def test_supertile_banded_layout(impl, packed):
     dw = bsmm.unpack_weights(np.asarray(DW)) if packed else np.asarray(DW)
     np.testing.assert_allclose(dw, bsmm.updat_test(X, E),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_native_schedule_builder_parity():
+    """C++ schedule builder produces identical schedules to Python."""
+    from blocksparse_tpu import native
+    from blocksparse_tpu.kernels import bsmm as K
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    n_rows, n_in = 40, 30
+    rows = []
+    flat_i, flat_w, flat_r = [], [], []
+    wid = 0
+    for r in range(n_rows):
+        ents = sorted(rng.choice(n_in, rng.randint(0, 9),
+                                 replace=False).tolist())
+        row = []
+        for c in ents:
+            row.append((c, wid))
+            flat_i.append(c)
+            flat_w.append(wid)
+            flat_r.append(r)
+            wid += 1
+        rows.append(row)
+    flat = (np.array(flat_i, np.int32), np.array(flat_w, np.int32),
+            np.array(flat_r, np.int32))
+
+    for G, R in [(4, 8), (8, 4), (2, 16)]:
+        py = K.build_grouped_schedule(rows, n_rows, G, R)
+        nt = native.grouped_schedule(flat[2], flat[0], flat[1], n_rows, G, R)
+        assert nt is not None
+        n_rows_arr, n_in_idx, n_w_idx, n_w_valid = nt
+        np.testing.assert_array_equal(py.rows, n_rows_arr)
+        np.testing.assert_array_equal(py.in_idx, n_in_idx)
+        np.testing.assert_array_equal(py.w_idx, n_w_idx)
+        np.testing.assert_array_equal(py.w_valid, n_w_valid)
+
+    V, R = 4, 8
+    py, infl_py = K.build_supertile_schedule(rows, n_rows, 32, R)
+    nt = native.supertile_schedule(flat[2], flat[0], flat[1], n_rows, V, R)
+    assert nt is not None
+    n_rows_arr, n_in_idx, n_w_idx, n_w_valid, padded = nt
+    np.testing.assert_array_equal(py.rows, n_rows_arr)
+    np.testing.assert_array_equal(py.in_idx, n_in_idx)
+    np.testing.assert_array_equal(py.w_idx, n_w_idx)
+    np.testing.assert_array_equal(py.w_valid, n_w_valid)
+    assert abs(padded / max(len(flat_i), 1) - infl_py) < 1e-9
+
+
+def test_native_sample_batch():
+    from blocksparse_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    data = np.arange(1000, dtype=np.uint8)
+    offsets = np.array([0, 100, 500], np.int64)
+    out = native.sample_batch(data, offsets, 16)
+    assert out is not None
+    x, y = out
+    np.testing.assert_array_equal(x[1], np.arange(100, 116))
+    np.testing.assert_array_equal(y[1], np.arange(101, 117))

@@ -122,7 +122,8 @@ int bs_supertile_schedule(
       if (st != last_st) { cnt++; last_st = st; }
     }
     st_count[r] = std::max(cnt, 1);
-    padded += (int64_t)std::max(cnt, 1) * V;
+    padded += (int64_t)cnt * V;  // empty rows excluded (parity with
+                                 // supertile_rows' inflation estimate)
   }
   if (out_padded_blocks) *out_padded_blocks = padded;
 

@@ -94,7 +94,10 @@ from blocksparse_tpu.ops.matmul import (
     block_reduced_full_dw,
     group_param_grads,
     largest_block,
+    dw_matmul_large_n,
 )
+from blocksparse_tpu import checkpoint
+from blocksparse_tpu import nccl
 
 from blocksparse_tpu.ops.norms import (
     layer_norm,

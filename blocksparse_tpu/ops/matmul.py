@@ -771,3 +771,15 @@ class SparseProj:
         assert x.shape[0] == self.nhidden
         assert y.shape[0] == self.nproj
         return x.at[jnp.asarray(self.gather_lut)].multiply(y)
+
+
+def dw_matmul_large_n(x, dy, precision=None):
+    """fp32-accurate dense dw for very large N (reference
+    dw_matmul_large_n, src/matmul_op.cc:21): dw = x^T @ dy with float32
+    accumulation regardless of input dtype.  On TPU this is one
+    dot_general with f32 preferred type; the reference needed a custom
+    kernel because fp16 tensorcore accumulation saturated."""
+    prec = precision or jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        x, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)

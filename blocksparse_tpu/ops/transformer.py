@@ -39,7 +39,37 @@ from blocksparse_tpu.utils import scalar_constant
 _NEG_MAX = -np.finfo(np.float32).max
 
 
+def sparse_coo_to_dense(coords, nq, nk):
+    a = np.zeros((nq, nk), np.int32)
+    for (q, k) in coords:
+        a[q, k] = 1
+    return a
+
+
 class BlocksparseTransformer:
+
+    def __getstate__(self):
+        # picklable (the reference left this as a TODO,
+        # transformer.py:53-59): layouts + masks fully determine state
+        return {"layout": np.stack([np.asarray(
+                    sparse_coo_to_dense(self.nt_list[h], self.ctx_blks_q,
+                                        self.ctx_blks_k))
+                    for h in range(self.lut_heads)]),
+                "block_size": self.blk_size,
+                "heads": self.heads,
+                "mask_blocks": self._mask_blocks,
+                "name": self.name}
+
+    def __setstate__(self, state):
+        mask_blocks = state["mask_blocks"]
+        cb = None
+        if mask_blocks is not None:
+            blk_of = {}
+
+            def cb(blk_shape, head, qry, key, blk):
+                return np.asarray(mask_blocks[head][blk])
+        self.__init__(state["layout"], state["block_size"], state["heads"],
+                      cb, state["name"])
 
     def __init__(self, layout, block_size=64, heads=None, mask_callback=None,
                  name=None):

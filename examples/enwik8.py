@@ -78,7 +78,7 @@ def main():
         attn_layout=args.attn_layout, local_blocks=8, mlp_ratio=4,
         dtype=dtype, recompute=True, tp=1)
     model = SparseTransformerLM(cfg)
-    print(f"model: {cfg.n_layer}L x {cfg.n_embd}d ctx {cfg.n_ctx} "
+    print(f"model: {cfg.n_layer}L x {cfg.n_embd}d ctx {cfg.ctx} "
           f"attn blocks {model.bst.blocks} | devices {n_dev}")
 
     params = model.init(jax.random.PRNGKey(0))

@@ -765,44 +765,69 @@ def _can_fuse(bst, hs, ctx_k, itemsize, budget=10 * 1024 * 1024):
     return hs <= 128 and resident + 4 * chunk <= budget
 
 
-def _attention_fused(bst, q, k, v, scale):
+def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
     from blocksparse_tpu.kernels import bst_attn
+
+    def to_flat(a, ctx_blks):
+        batch = a.shape[0]
+        hs = a.shape[2] // bst.heads
+        a5 = bst._split_heads(a, ctx_blks)
+        return a5.reshape(batch * bst.heads, ctx_blks * bst.blk_size, hs)
+
+    def from_flat(af, batch, ctx_blks):
+        hs = af.shape[-1]
+        a5 = af.reshape(batch, bst.heads, ctx_blks, bst.blk_size, hs)
+        return bst._merge_heads(a5)
 
     @jax.custom_vjp
     def att(q, k, v):
         batch = q.shape[0]
-        hs = q.shape[2] // bst.heads
-        q5 = bst._split_heads(q, bst.ctx_blks_q)
-        k5 = bst._split_heads(k, bst.ctx_blks_k)
-        v5 = bst._split_heads(v, bst.ctx_blks_k)
-        BH = batch * bst.heads
-        qf = q5.reshape(BH, bst.ctx_blks_q * bst.blk_size, hs)
-        kf = k5.reshape(BH, bst.ctx_blks_k * bst.blk_size, hs)
-        vf = v5.reshape(BH, bst.ctx_blks_k * bst.blk_size, hs)
+        qf = to_flat(q, bst.ctx_blks_q)
+        kf = to_flat(k, bst.ctx_blks_k)
+        vf = to_flat(v, bst.ctx_blks_k)
         yf = bst_attn.fused_attention_fwd(qf, kf, vf, bst.attn_schedule,
                                           bst.heads, scale)
-        y5 = yf.reshape(batch, bst.heads, bst.ctx_blks_q, bst.blk_size, hs)
-        return bst._merge_heads(y5)
+        return from_flat(yf, batch, bst.ctx_blks_q)
 
     def fwd(q, k, v):
-        return att(q, k, v), (q, k, v)
+        if not flash_bwd:
+            return att(q, k, v), (q, k, v, None, None)
+        batch = q.shape[0]
+        qf = to_flat(q, bst.ctx_blks_q)
+        kf = to_flat(k, bst.ctx_blks_k)
+        vf = to_flat(v, bst.ctx_blks_k)
+        yf, lse = bst_attn.fused_attention_fwd_lse(
+            qf, kf, vf, bst.attn_schedule, bst.heads, scale)
+        y = from_flat(yf, batch, bst.ctx_blks_q)
+        return y, (q, k, v, yf, lse)
 
     def bwd(res, dy):
-        q, k, v = res
-
-        def ref(q, k, v):
-            w = bst.nt_op(q, k)
-            p = bst.masked_softmax(w, scale=scale)
-            return bst.nn_op(p, v)
-
-        _, vjp = jax.vjp(ref, q, k, v)
-        return vjp(dy)
+        q, k, v, yf, lse = res
+        if yf is None:
+            def ref(q, k, v):
+                w = bst.nt_op(q, k)
+                p = bst.masked_softmax(w, scale=scale)
+                return bst.nn_op(p, v)
+            _, vjp = jax.vjp(ref, q, k, v)
+            return vjp(dy)
+        batch = q.shape[0]
+        qf = to_flat(q, bst.ctx_blks_q)
+        kf = to_flat(k, bst.ctx_blks_k)
+        vf = to_flat(v, bst.ctx_blks_k)
+        dof = to_flat(dy, bst.ctx_blks_q)
+        dqf, dkf, dvf = bst_attn.fused_attention_bwd(
+            qf, kf, vf, yf, lse, dof, bst.attn_schedule,
+            bst.attn_schedule_tn, bst.heads, scale)
+        return (from_flat(dqf, batch, bst.ctx_blks_q).astype(q.dtype),
+                from_flat(dkf, batch, bst.ctx_blks_k).astype(k.dtype),
+                from_flat(dvf, batch, bst.ctx_blks_k).astype(v.dtype))
 
     att.defvjp(fwd, bwd)
     return att(q, k, v)
 
 
-def _bst_attention(self, q, k, v, scale=1.0, use_fused=None):
+def _bst_attention(self, q, k, v, scale=1.0, use_fused=None,
+                   flash_bwd=True):
     """Fused sparse attention: softmax(scale*QK^T + mask) V over this
     object's layout.  Falls back to the unfused three-op composition when
     the fused kernel doesn't fit (huge ctx*hs) or when disabled."""
@@ -811,7 +836,7 @@ def _bst_attention(self, q, k, v, scale=1.0, use_fused=None):
         use_fused = _can_fuse(self, hs, self.ctx_blks_k * self.blk_size,
                               q.dtype.itemsize)
     if use_fused:
-        return _attention_fused(self, q, k, v, scale)
+        return _attention_fused(self, q, k, v, scale, flash_bwd=flash_bwd)
     w = self.nt_op(q, k)
     p = self.masked_softmax(w, scale=scale)
     return self.nn_op(p, v)
@@ -825,5 +850,15 @@ def _bst_attn_schedule(self):
     return self._attn_sched_cache
 
 
+def _bst_attn_schedule_tn(self):
+    from blocksparse_tpu.kernels import bst_attn
+    if getattr(self, "_attn_sched_tn_cache", None) is None:
+        self._attn_sched_tn_cache = bst_attn.build_attn_schedule_tn(
+            self.tn_list, self.nt_list, self.ctx_blks_k, self.blk_size,
+            self._mask_blocks)
+    return self._attn_sched_tn_cache
+
+
 BlocksparseTransformer.attention = _bst_attention
 BlocksparseTransformer.attn_schedule = property(_bst_attn_schedule)
+BlocksparseTransformer.attn_schedule_tn = property(_bst_attn_schedule_tn)

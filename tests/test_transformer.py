@@ -288,3 +288,52 @@ def test_fused_attention_unmasked_layout():
                           scale=0.3, use_fused=False)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_backward_matches_unfused():
+    heads, ctx_blks, batch, hs, bsize = 2, 4, 2, 16, 16
+    bst = make_bst(ctx_blks, bsize, heads, masked=True)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    rng = np.random.RandomState(7)
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    K = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    V = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    DY = rng.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    scale = 0.25
+
+    def loss(q, k, v, flash):
+        y = bst.attention(q, k, v, scale=scale, use_fused=True,
+                          flash_bwd=flash)
+        return jnp.sum(y * jnp.asarray(DY))
+
+    g_flash = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V), True)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V), False)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_backward_unmasked():
+    heads, ctx_blks, batch, hs, bsize = 1, 5, 1, 8, 8
+    layout = np.zeros((ctx_blks, ctx_blks), np.int32)
+    for i in range(ctx_blks):
+        layout[i, max(0, i - 1):i + 1] = 1
+        layout[i, 0] = 1
+    bst = BlocksparseTransformer(layout, block_size=bsize, heads=heads)
+    ctx = ctx_blks * bsize
+    rng = np.random.RandomState(9)
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, heads * hs)).astype(np.float32)
+
+    def loss(q, flash):
+        y = bst.attention(q, q, q, scale=0.3, use_fused=True,
+                          flash_bwd=flash)
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(loss)(jnp.asarray(Q), True)
+    g2 = jax.grad(loss)(jnp.asarray(Q), False)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)

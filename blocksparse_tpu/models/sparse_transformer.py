@@ -226,9 +226,14 @@ class SparseTransformerLM:
 
     # ---------------- forward ----------------
 
-    def _block(self, layer, x, dtype, tp_axis):
+    def _block(self, layer, x, dtype, tp_axis, drop_key=None):
         c = self.config
         nd = jnp.dtype(dtype)
+
+        def resid_drop(h, key):
+            if c.resid_pdrop and key is not None:
+                h, _ = dropout(h, 1.0 - c.resid_pdrop, key=key)
+            return h
 
         def attn(x):
             h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], axis=-1)
@@ -262,21 +267,27 @@ class SparseTransformerLM:
                 h = jax.lax.psum(h, tp_axis)
             return h + layer["b_proj"].astype(nd)
 
-        x = x + attn(x).astype(x.dtype)
-        x = x + mlp(x).astype(x.dtype)
+        k1 = k2 = None
+        if drop_key is not None:
+            k1, k2 = jax.random.split(drop_key)
+        x = x + resid_drop(attn(x), k1).astype(x.dtype)
+        x = x + resid_drop(mlp(x), k2).astype(x.dtype)
         return x
 
-    def forward(self, params, tokens, tp_axis=None):
-        """tokens (batch, ctx) int32 -> logits (batch, ctx, n_vocab) f32."""
+    def forward(self, params, tokens, tp_axis=None, dropout_key=None):
+        """tokens (batch, ctx) int32 -> logits (batch, ctx, n_vocab) f32.
+        dropout_key enables residual dropout (resid_pdrop)."""
         c = self.config
         nd = jnp.dtype(c.dtype)
         x = embedding_lookup(params["wte"], tokens) \
             + params["wpe"][None, :tokens.shape[1]]
         x = x.astype(jnp.float32)
 
+        keys = (jax.random.split(dropout_key, c.n_layer)
+                if dropout_key is not None else [None] * c.n_layer)
         for l in range(c.n_layer):
-            blk = lambda x, layer=params[f"h{l}"]: \
-                self._block(layer, x, nd, tp_axis)
+            blk = lambda x, layer=params[f"h{l}"], k=keys[l]: \
+                self._block(layer, x, nd, tp_axis, drop_key=k)
             if c.recompute:
                 x = jax.checkpoint(blk)(x)
             else:
@@ -286,8 +297,9 @@ class SparseTransformerLM:
         logits = h.astype(nd) @ float_cast(params["wte"], nd).T
         return logits.astype(jnp.float32)
 
-    def loss(self, params, tokens, targets, tp_axis=None):
-        logits = self.forward(params, tokens, tp_axis=tp_axis)
+    def loss(self, params, tokens, targets, tp_axis=None, dropout_key=None):
+        logits = self.forward(params, tokens, tp_axis=tp_axis,
+                              dropout_key=dropout_key)
         losses = softmax_cross_entropy(logits=logits, labels=targets)
         return jnp.mean(losses)
 

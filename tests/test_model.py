@@ -90,3 +90,19 @@ def test_loss_scale_recovery():
     # params unchanged on skipped step (besides the poisoned value)
     np.testing.assert_allclose(np.asarray(p1["wpe"]),
                                np.asarray(params["wpe"]))
+
+
+def test_residual_dropout():
+    model = SparseTransformerLM(tiny_config(resid_pdrop=0.5,
+                                            recompute=False))
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.random.randint(0, 64, (2, 64)))
+    k = jax.random.PRNGKey(1)
+    y1 = model.forward(params, tokens, dropout_key=k)
+    y2 = model.forward(params, tokens, dropout_key=jax.random.PRNGKey(2))
+    y3 = model.forward(params, tokens)  # no dropout
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
+    # deterministic given the key
+    y1b = model.forward(params, tokens, dropout_key=k)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y1b))

@@ -14,6 +14,7 @@ __version__ = "0.1.0"
 from blocksparse_tpu.utils import (
     get_entropy,
     set_entropy,
+    entropy_size,
     scalar_constant,
     ceil_div,
     reduce_mul,
@@ -70,6 +71,8 @@ from blocksparse_tpu.ops.ewops import (
     fancy_gather,
     reduce_max,
     assign_add,
+    replace_add_n,
+    restore_add_n,
 )
 
 from blocksparse_tpu.ops.grads import (
@@ -93,6 +96,7 @@ from blocksparse_tpu.ops.matmul import (
     SparseProj,
     block_reduced_full_dw,
     group_param_grads,
+    get_bsmm_dx_ops,
     largest_block,
     dw_matmul_large_n,
 )
@@ -118,6 +122,7 @@ from blocksparse_tpu.ops.optimize import (
     adafactor1d_op,
     adam_op,
     adam_apply,
+    blocksparse_adam_op,
     ema_op,
 )
 

@@ -250,3 +250,12 @@ def assign_add(y, x, name=None):
     """Functional: returns y + x (no in-place variables in JAX; XLA
     donates buffers under jit)."""
     return y + x
+
+
+def replace_add_n():
+    """Parity shim: the reference monkey-patches tf.add_n with its fused
+    8-way trees (ewops.py:295); XLA fuses additions natively."""
+
+
+def restore_add_n():
+    """Parity shim; see replace_add_n."""

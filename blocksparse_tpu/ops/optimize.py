@@ -440,3 +440,36 @@ def blocksparse_prune(gate, param, step, sparsity=None, threshold=None,
         new_gate = (norms > threshold).astype(gate.dtype)
     do_update = (step % frequency) == 0
     return jnp.where(do_update, new_gate, gate)
+
+
+def blocksparse_adam_op(grad, param, m, v, lr_old, lr_new, lr_select=None,
+                        decay_mean=0.9, decay_var=0.999, epsilon=1e-8,
+                        grad_scale=1.0, norm_scale=None, saturate=0.0,
+                        zero_infs=False, zero_nans=False):
+    """Adam with dual learning rates selected per block (reference
+    BlocksparseAdam, src/optimize_op_gpu.cu:629-704): blocks whose
+    lr_select entry is nonzero use lr_new (e.g. freshly grown blocks),
+    the rest lr_old.  param/m/v are (blocks, bsize, bsize).
+    Returns (param, m, v)."""
+    f32 = jnp.float32
+    ns = jnp.asarray(1.0, f32) if norm_scale is None \
+        else jnp.asarray(norm_scale, f32)
+    g = _scrub(grad, saturate, zero_infs, zero_nans)
+    g = g * (jnp.asarray(grad_scale, f32) * ns)
+
+    if lr_select is None:
+        lr = jnp.asarray(lr_old, f32)
+    else:
+        sel = lr_select.astype(f32).reshape((-1,) + (1,) * (param.ndim - 1))
+        lr = jnp.where(sel == 0.0, jnp.asarray(lr_old, f32),
+                       jnp.asarray(lr_new, f32))
+
+    m32, v32, p32 = m.astype(f32), v.astype(f32), param.astype(f32)
+    m_new = decay_mean * m32 + (1.0 - decay_mean) * g
+    v_new = decay_var * v32 + (1.0 - decay_var) * g * g
+    p_new = p32 - lr * m_new / (jnp.sqrt(v_new) + epsilon)
+
+    skip = ns == 0.0
+    return (jnp.where(skip, p32, p_new).astype(param.dtype),
+            jnp.where(skip, m32, m_new).astype(m.dtype),
+            jnp.where(skip, v32, v_new).astype(v.dtype))

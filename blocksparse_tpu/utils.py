@@ -92,6 +92,10 @@ def magic64u(d: int):
 # host-side seed sequence.  set_entropy()/get_entropy() keep API parity.
 # ------------------------------------------------------------------
 
+# parity constant (the reference sized a GPU LFSR buffer with this,
+# utils.py:24); kept for imports that reference it
+entropy_size = 80 * 3 * 1024
+
 _g_entropy_key = None
 
 

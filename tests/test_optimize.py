@@ -204,3 +204,23 @@ def test_quantize_roundtrip():
     (dx,) = vjp(dy)
     expect = np.asarray(quantize_float_sim(dy, 4, 3, 7))
     np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-6)
+
+
+def test_blocksparse_adam_dual_lr():
+    shape = (6, 8, 8)
+    G = np.random.randn(*shape).astype(np.float32)
+    P = np.random.randn(*shape).astype(np.float32)
+    M = np.zeros(shape, np.float32)
+    V = np.zeros(shape, np.float32)
+    sel = np.array([0, 1, 0, 1, 1, 0], np.float32)
+    p, m, v = opt.blocksparse_adam_op(
+        jnp.asarray(G), jnp.asarray(P), jnp.asarray(M), jnp.asarray(V),
+        lr_old=0.1, lr_new=0.5, lr_select=jnp.asarray(sel),
+        decay_mean=0.9, decay_var=0.99)
+    M2 = 0.1 * G
+    V2 = 0.01 * G * G
+    for i in range(6):
+        lr = 0.5 if sel[i] else 0.1
+        expect = P[i] - lr * M2[i] / (np.sqrt(V2[i]) + 1e-8)
+        np.testing.assert_allclose(np.asarray(p)[i], expect, rtol=1e-5,
+                                   atol=1e-6)

@@ -98,6 +98,7 @@ from blocksparse_tpu.ops.matmul import (
     group_param_grads,
     get_bsmm_dx_ops,
     largest_block,
+    coarsen_layout,
     dw_matmul_large_n,
 )
 from blocksparse_tpu import checkpoint

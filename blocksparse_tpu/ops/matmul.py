@@ -50,17 +50,26 @@ class BlocksparseMatMul:
     """Block-sparse matmul op object.
 
     layout: 2-D 0/1 array (CB, KB) of nonzero blocks.
-    block_size: 8, 16, 32 or 64 (the reference restricts per axis,
-        matmul.py:82-89; the TPU kernels support all sizes on both axes).
+    block_size: 8..64 (reference range, restricted per axis there —
+        matmul.py:82-89) plus 128, which fills the full MXU tile (use
+        `coarsen_layout` to lift a fine layout to 128 when it has 2-D
+        locality: smaller blocks fill only bsize/128 of the output
+        lanes per pass).
     feature_axis: 0 => activations are (C, N) feature-major ("CN", the fast
         path on TPU: batch lanes stay full); 1 => (N, C).
     """
 
     def __getstate__(self):
-        return (self.layout, self.bsize, self.axis, self.z_order, self.name)
+        return {"layout": self.layout, "block_size": self.bsize,
+                "feature_axis": self.axis, "z_order": self.z_order,
+                "name": self.name, "impl": self.impl,
+                "w_layout": self.w_layout}
 
     def __setstate__(self, state):
-        self.__init__(*state)
+        if isinstance(state, tuple):  # legacy tuple form
+            self.__init__(*state)
+        else:
+            self.__init__(**state)
 
     def __init__(self, layout, block_size=32, feature_axis=0, z_order=True,
                  name=None, impl=None, tile_n=None, w_layout="blocks"):
@@ -69,7 +78,7 @@ class BlocksparseMatMul:
         free reshape instead of a gather — about 3 fewer W-sized HBM
         passes per fprop.  w_shape changes accordingly; use
         pack_weights/unpack_weights to convert."""
-        if block_size not in (8, 16, 32, 64):
+        if block_size not in (8, 16, 32, 64, 128):
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")
         self.axis = feature_axis
@@ -783,3 +792,54 @@ def dw_matmul_large_n(x, dy, precision=None):
     return jax.lax.dot_general(
         x, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
+
+
+def coarsen_layout(layout, bsize, target=128):
+    """Lift a fine block layout to ``target``-sized blocks.
+
+    Returns (coarse_layout, pack_w, unpack_w): a (CB', KB') 0/1 layout at
+    the coarse block size plus converters between the fine (blocks, b, b)
+    weight array (ordered like BlocksparseMatMul(layout, bsize)) and the
+    coarse (blocks', target, target) array (ordered like
+    BlocksparseMatMul(coarse_layout, target)), absent fine blocks zero.
+
+    Why: blocks smaller than 128 fill only bsize/128 of the MXU output
+    lanes per pass; when the layout has 2-D locality (banded, local,
+    low-rank-ish), coarsening trades a little padding compute for full
+    MXU tiles.  The fill factor is nnz_fine / (nnz_coarse * (target/b)^2)
+    — coarsen when that stays high."""
+    V = target // bsize
+    assert target % bsize == 0 and V >= 1
+    layout = (np.asarray(layout) != 0).astype(np.int32)
+    CB, KB = layout.shape
+    CBp, KBp = ceil_div(CB, V), ceil_div(KB, V)
+    pad = np.zeros((CBp * V, KBp * V), np.int32)
+    pad[:CB, :KB] = layout
+    coarse = pad.reshape(CBp, V, KBp, V).max(axis=(1, 3))
+
+    fine = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0)
+    co = BlocksparseMatMul(coarse, block_size=target, feature_axis=0)
+
+    # map each fine block id -> (coarse block id, row off, col off)
+    coarse_id = {cc: i for i, cc in enumerate(co.updat_list)}
+    fmap = []
+    for w, (c, k) in enumerate(fine.updat_list):
+        cid = coarse_id[(c // V, k // V)]
+        fmap.append((cid, (c % V) * bsize, (k % V) * bsize))
+
+    def pack_w(w_fine):
+        w_fine = np.asarray(w_fine)
+        out = np.zeros((co.blocks, target, target), w_fine.dtype)
+        for w, (cid, ro, cv) in enumerate(fmap):
+            out[cid, ro:ro + bsize, cv:cv + bsize] = w_fine[w]
+        return out
+
+    def unpack_w(w_coarse):
+        w_coarse = np.asarray(w_coarse)
+        out = np.zeros((fine.blocks, bsize, bsize), w_coarse.dtype)
+        for w, (cid, ro, cv) in enumerate(fmap):
+            out[w] = w_coarse[cid, ro:ro + bsize, cv:cv + bsize]
+        return out
+
+    fill = fine.blocks / (co.blocks * V * V)
+    return coarse, pack_w, unpack_w, fill

@@ -333,3 +333,53 @@ def test_native_sample_batch():
     x, y = out
     np.testing.assert_array_equal(x[1], np.arange(100, 116))
     np.testing.assert_array_equal(y[1], np.arange(101, 117))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_bsize128(impl):
+    layout = random_layout(3, 3, 0.7, seed=31)
+    bsmm = BlocksparseMatMul(layout, block_size=128, feature_axis=0,
+                             impl=impl)
+    X = np.random.uniform(-1, 1, bsmm.i_shape(64)).astype(np.float32)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsmm.o_shape(64)).astype(np.float32)
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(DW), bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_coarsen_layout():
+    from blocksparse_tpu import coarsen_layout
+    # banded fine layout at b=32 -> coarse 128 with high fill
+    CB = KB = 16
+    layout = np.zeros((CB, KB), np.int32)
+    for i in range(CB):
+        layout[i, max(0, i - 3):min(KB, i + 4)] = 1
+    coarse, pack_w, unpack_w, fill = coarsen_layout(layout, 32, 128)
+    assert coarse.shape == (4, 4)
+    assert fill > 0.4
+
+    fine = BlocksparseMatMul(layout, block_size=32, feature_axis=0,
+                             impl="xla")
+    co = BlocksparseMatMul(coarse, block_size=128, feature_axis=0,
+                           impl="xla")
+    Wf = np.random.uniform(-1, 1, fine.w_shape).astype(np.float32)
+    Wc = pack_w(Wf)
+    np.testing.assert_allclose(unpack_w(Wc), Wf)
+
+    X = np.random.uniform(-1, 1, fine.i_shape(32)).astype(np.float32)
+    y_fine = fine(jnp.asarray(X), jnp.asarray(Wf))
+    y_co = co(jnp.asarray(X), jnp.asarray(Wc))
+    np.testing.assert_allclose(np.asarray(y_co), np.asarray(y_fine),
+                               rtol=1e-4, atol=1e-4)

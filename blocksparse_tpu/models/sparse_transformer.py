@@ -371,3 +371,33 @@ class SparseTransformerLM:
             check_vma=False,
         )
         return jax.jit(smapped)
+
+
+def generate(model: SparseTransformerLM, params, prompt, steps,
+             temperature=1.0, key=None):
+    """Simple autoregressive sampling (full-context forward per token;
+    a KV-cached decode path is future work — the layout machinery for it,
+    dynamic ``autoregress_at_key`` re-masking, lives in
+    BlocksparseTransformer.masked_softmax, parity with the reference's
+    incremental decode, transformer.py:366-370).
+
+    prompt: (batch, n) int32 with n < ctx.  Returns (batch, n+steps).
+    """
+    c = model.config
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    batch, n = prompt.shape
+    tokens = jnp.zeros((batch, c.ctx), jnp.int32)
+    tokens = tokens.at[:, :n].set(prompt)
+
+    @jax.jit
+    def step(tokens, pos, key):
+        logits = model.forward(params, tokens)
+        logits_t = logits[jnp.arange(batch), pos - 1] / temperature
+        nxt = jax.random.categorical(key, logits_t, axis=-1)
+        return tokens.at[:, pos].set(nxt)
+
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        tokens = step(tokens, n + i, sub)
+    return tokens[:, :n + steps]

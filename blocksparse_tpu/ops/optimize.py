@@ -473,3 +473,54 @@ def blocksparse_adam_op(grad, param, m, v, lr_old, lr_new, lr_select=None,
     return (jnp.where(skip, p32, p_new).astype(param.dtype),
             jnp.where(skip, m32, m_new).astype(m.dtype),
             jnp.where(skip, v32, v_new).astype(v.dtype))
+
+
+# ------------------------------------------------------------------
+# optax adapters: expose the fused updates as GradientTransformations
+# so they compose with the wider JAX ecosystem (schedules, chains).
+# ------------------------------------------------------------------
+
+def optax_adam(learning_rate=3e-4, beta1=0.9, beta2=0.999, epsilon=1e-8,
+               clip_sigma=0.0, saturate=0.0, zero_infs=False,
+               zero_nans=False, fp16_state=False):
+    """GradientTransformation wrapping adam_apply (norm_scale signalling
+    is handled by the caller's loss-scale loop when needed)."""
+    import optax
+
+    opt = AdamOptimizer(learning_rate=learning_rate, beta1=beta1,
+                        beta2=beta2, epsilon=epsilon,
+                        clip_sigmas=clip_sigma, saturate=saturate,
+                        zero_infs=zero_infs, zero_nans=zero_nans,
+                        fp16=fp16_state)
+
+    def init_fn(params):
+        return opt.init(params)
+
+    def update_fn(grads, state, params=None):
+        assert params is not None, "fused adam updates params directly"
+        new_params, new_state = opt.apply(grads, params, state)
+        updates = jax.tree_util.tree_map(lambda n, p: n - p, new_params,
+                                         params)
+        return updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def optax_adafactor(learning_rate=5e-4, beta2=0.999, epsilon=1e-30,
+                    clip_thresh=1.0):
+    import optax
+
+    opt = AdafactorOptimizer(learning_rate=learning_rate, beta2=beta2,
+                             epsilon=epsilon, clip_thresh=clip_thresh)
+
+    def init_fn(params):
+        return opt.init(params)
+
+    def update_fn(grads, state, params=None):
+        assert params is not None
+        new_params, new_state = opt.apply(grads, params, state)
+        updates = jax.tree_util.tree_map(lambda n, p: n - p, new_params,
+                                         params)
+        return updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)

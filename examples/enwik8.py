@@ -64,6 +64,10 @@ def main():
     p.add_argument("--loss_scale", type=float, default=2.0 ** 15)
     p.add_argument("--dtype", type=str, default=None)
     p.add_argument("--profile", type=int, default=0)
+    p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpt_every", type=int, default=0)
+    p.add_argument("--eval_every", type=int, default=0)
     args = p.parse_args()
 
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
@@ -93,8 +97,19 @@ def main():
 
     loss_scale = jnp.asarray(args.loss_scale
                              if dtype != "float32" else 1.0)
+    start = 0
+    if args.resume and args.ckpt_dir:
+        from blocksparse_tpu import checkpoint as ck
+        tree, meta = ck.restore(args.ckpt_dir)
+        params, opt_state = tree["params"], tree["opt_state"]
+        loss_scale = tree.get("loss_scale", loss_scale)
+        start = meta["step"]
+        print(f"resumed from step {start}")
+
+    eval_fn = jax.jit(lambda p, x, y: model.loss(p, x, y))
+
     t0 = time.time()
-    for step in range(args.n_iter):
+    for step in range(start, args.n_iter):
         x, y = next(it)
         ctx_mgr = mesh or _null()
         with ctx_mgr:
@@ -108,6 +123,17 @@ def main():
             print(f"step {step:5d} loss {loss:7.4f} bits/byte {bpb:6.3f} "
                   f"gnorm {float(metrics['grad_norm']):8.2f} "
                   f"scale {float(loss_scale):9.1f} ({dt:5.1f}s)")
+        if args.ckpt_every and args.ckpt_dir \
+                and (step + 1) % args.ckpt_every == 0:
+            from blocksparse_tpu import checkpoint as ck
+            ck.save(args.ckpt_dir, params, opt_state=opt_state,
+                    step=step + 1, loss_scale=loss_scale,
+                    config=vars(args))
+        if args.eval_every and (step + 1) % args.eval_every == 0:
+            ev = np.random.RandomState(9)
+            vx, vy = next(batch_iter(valid, args.n_batch, args.n_ctx, ev))
+            vl = float(eval_fn(params, jnp.asarray(vx), jnp.asarray(vy)))
+            print(f"  eval bits/byte {vl/np.log(2):6.3f}")
         if args.profile and step >= args.profile:
             break
 

@@ -106,3 +106,13 @@ def test_residual_dropout():
     # deterministic given the key
     y1b = model.forward(params, tokens, dropout_key=k)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y1b))
+
+
+def test_generate():
+    from blocksparse_tpu.models.sparse_transformer import generate
+    model = SparseTransformerLM(tiny_config(recompute=False))
+    params = model.init(jax.random.PRNGKey(0))
+    prompt = jnp.asarray(np.random.randint(0, 64, (2, 8)))
+    out = generate(model, params, prompt, steps=4)
+    assert out.shape == (2, 12)
+    np.testing.assert_array_equal(np.asarray(out)[:, :8], np.asarray(prompt))

@@ -224,3 +224,23 @@ def test_blocksparse_adam_dual_lr():
         expect = P[i] - lr * M2[i] / (np.sqrt(V2[i]) + 1e-8)
         np.testing.assert_allclose(np.asarray(p)[i], expect, rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_optax_adapters():
+    import optax
+    params = {"w": jnp.asarray(np.random.randn(8, 8), jnp.float32)}
+    grads = {"w": jnp.asarray(np.random.randn(8, 8), jnp.float32)}
+    tx = opt.optax_adam(learning_rate=0.01)
+    st = tx.init(params)
+    updates, st = tx.update(grads, st, params)
+    p2 = optax.apply_updates(params, updates)
+    # equals the fused AdamOptimizer path
+    o = opt.AdamOptimizer(learning_rate=0.01)
+    ref_p, _ = o.apply(grads, params, o.init(params))
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(ref_p["w"]),
+                               rtol=1e-6)
+
+    tx2 = opt.optax_adafactor(learning_rate=0.01)
+    st2 = tx2.init(params)
+    upd2, st2 = tx2.update(grads, st2, params)
+    assert jnp.isfinite(upd2["w"]).all()

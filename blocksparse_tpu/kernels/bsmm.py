@@ -710,61 +710,6 @@ def xprop_pallas_grouped(x, w, sched: GroupedSchedule, bsize: int,
         precision=precision, out_dtype=out_dtype)
 
 
-def _xprop_pallas_grouped_old(x, w, sched, bsize,
-                              trans_w, tile_n=None,
-                              precision=None, out_dtype=None):
-    C, N = x.shape
-    TN = tile_n or pick_tile(N)
-    assert N % TN == 0
-    prec = dot_precision(x.dtype, precision)
-    R, G, CH = sched.R, sched.G, sched.CH
-    groups = sched.groups
-    out_rows_padded = groups * R
-    out_dtype = out_dtype or x.dtype
-
-    w_panels = _gather_w_grouped(w, sched, trans_w)
-
-    in_specs = [
-        pl.BlockSpec((C, TN), lambda n, g, rr, ii: (0, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,) + w_panels.shape[1:],
-                     lambda n, g, rr, ii: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((R * bsize, TN), lambda n, g, rr, ii: (g, n),
-                            memory_space=pltpu.VMEM)
-    cost = pl.CostEstimate(
-        flops=2 * groups * CH * G * bsize * bsize * N,
-        bytes_accessed=x.size * x.dtype.itemsize
-        + (N // TN) * w_panels.size * w_panels.dtype.itemsize
-        + out_rows_padded * bsize * N * 4,
-        transcendentals=0,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(N // TN, groups),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((R * bsize, TN), jnp.float32)],
-    )
-    kernel = _xprop_grouped_contig_kernel \
-        if getattr(sched, "contiguous", False) else _xprop_grouped_kernel
-    fn = pl.pallas_call(
-        functools.partial(kernel, CH, G, R, bsize, trans_w, prec),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows_padded * bsize, N),
-                                       out_dtype),
-        cost_estimate=cost,
-        interpret=use_interpret(),
-    )
-    out = fn(jnp.asarray(sched.rows),
-             jnp.asarray(sched.in_idx.reshape(sched.groups, -1)),
-             x, w_panels)
-    if out_rows_padded != sched.n_out_blocks:
-        out = out[:sched.n_out_blocks * bsize]
-    return out
-
-
 # ---- grouped updat: grid step = one cb-group, CH chunks of G dw blocks ---
 
 @dataclass

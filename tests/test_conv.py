@@ -158,3 +158,27 @@ def test_cwise_linear():
     np.testing.assert_allclose(np.asarray(dx), dx_g, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(da), da_g, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(db), db_g, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_3d():
+    N, C, K = 1, 4, 4
+    BCK = [((0, 1), (0, 1)), ((2, 3), (2, 3))]
+    bsc = BlocksparseConv(BCK, (3, 3, 3), (6, 6, 6), padding="SAME")
+    F_blocks = [np.random.uniform(-1, 1, [2, 2] + bsc.TRS).astype(np.float32)
+                for _ in range(2)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, bsc.i_shape(N)).astype(np.float32)
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_conv_dilated():
+    BCK = [((0, 1, 2, 3), (0, 1, 2, 3))]
+    bsc = BlocksparseConv(BCK, (3,), (16,), dilates=(2,), padding="SAME")
+    F_blocks = [np.random.uniform(-1, 1, [4, 4] + bsc.TRS).astype(np.float32)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, bsc.i_shape(2)).astype(np.float32)
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)

@@ -383,3 +383,18 @@ def test_coarsen_layout():
     y_co = co(jnp.asarray(X), jnp.asarray(Wc))
     np.testing.assert_allclose(np.asarray(y_co), np.asarray(y_fine),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_l2_normalize_gain():
+    layout = random_layout(4, 5, 0.5, seed=17)
+    bsmm = BlocksparseMatMul(layout, block_size=8, feature_axis=0, impl="xla")
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    gain = np.random.uniform(0.5, 1.5, bsmm.K).astype(np.float32)
+    Wn = bsmm.l2_normalize(jnp.asarray(W), gain=jnp.asarray(gain))
+    # golden: normalized then gained per output feature
+    Wn0 = bsmm.l2_normalize_test(W)
+    g = gain.reshape(bsmm.KB, bsmm.bsize)
+    expect = np.array(Wn0)
+    for w, (c, k) in enumerate(bsmm.updat_list):
+        expect[w] = Wn0[w] * g[k][None, :]
+    np.testing.assert_allclose(np.asarray(Wn), expect, rtol=1e-5, atol=1e-5)

@@ -244,3 +244,28 @@ def test_optax_adapters():
     st2 = tx2.init(params)
     upd2, st2 = tx2.update(grads, st2, params)
     assert jnp.isfinite(upd2["w"]).all()
+
+
+def test_adafactor_optimizer_class():
+    P = {"w2d": jnp.asarray(np.random.randn(16, 24), jnp.float32),
+         "b1d": jnp.asarray(np.random.randn(24), jnp.float32)}
+    G = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(np.random.randn(*p.shape), jnp.float32), P)
+    o = opt.AdafactorOptimizer(learning_rate=0.01)
+    st = o.init(P)
+    assert "rv" in st["slots"]["w2d"] and "rv" not in st["slots"]["b1d"]
+    P2, st2 = o.apply(G, P, st)
+    assert not np.allclose(np.asarray(P2["w2d"]), np.asarray(P["w2d"]))
+    assert not np.allclose(np.asarray(P2["b1d"]), np.asarray(P["b1d"]))
+    P3, st3 = o.apply(G, P2, st2)
+    assert int(st3["t"]) == 2
+
+
+def test_clip_mixed_dtypes():
+    gs = [jnp.asarray(np.random.randn(16, 16), jnp.float32),
+          jnp.asarray(np.random.randn(32), jnp.bfloat16),
+          jnp.asarray(np.random.randn(8), jnp.float16)]
+    gn, ns = opt.clip_by_global_norm(gs, clip_norm=1.0)
+    expect = np.sqrt(sum(np.sum(np.square(np.asarray(g, np.float32)))
+                         for g in gs))
+    np.testing.assert_allclose(float(gn), expect, rtol=1e-2)

@@ -337,3 +337,40 @@ def test_flash_backward_unmasked():
     g2 = jax.grad(loss)(jnp.asarray(Q), False)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_attention_per_head_layouts():
+    heads, ctx_blks, batch, hs, bsize = 2, 4, 2, 8, 16
+    rng = np.random.RandomState(11)
+    lays = []
+    for h in range(heads):
+        lay = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+        # drop a different off-diagonal block per head, keep counts equal
+        lay[3, 1 + h] = 0
+        lays.append(lay)
+    layout = np.stack(lays)
+    bst = BlocksparseTransformer(layout, block_size=bsize, heads=heads,
+                                 mask_callback=causal_subblock_mask)
+    assert bst.lut_heads == heads
+    ctx = ctx_blks * bsize
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, heads * hs)).astype(np.float32)
+    K = rng.uniform(-0.5, 0.5, (batch, ctx, heads * hs)).astype(np.float32)
+    V = rng.uniform(-0.5, 0.5, (batch, ctx, heads * hs)).astype(np.float32)
+
+    y_f = bst.attention(jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+                        scale=0.3, use_fused=True)
+    y_r = bst.attention(jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+                        scale=0.3, use_fused=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-4, atol=1e-5)
+
+    # flash backward with per-head layouts
+    def loss(q, flash):
+        y = bst.attention(q, jnp.asarray(K), jnp.asarray(V), scale=0.3,
+                          use_fused=True, flash_bwd=flash)
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(lambda q: loss(q, True))(jnp.asarray(Q))
+    g2 = jax.grad(lambda q: loss(q, False))(jnp.asarray(Q))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)

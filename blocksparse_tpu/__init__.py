@@ -103,6 +103,8 @@ from blocksparse_tpu.ops.matmul import (
 )
 from blocksparse_tpu import checkpoint
 from blocksparse_tpu import nccl
+from blocksparse_tpu import sparsity
+from blocksparse_tpu import profiling
 
 from blocksparse_tpu.ops.norms import (
     layer_norm,

@@ -96,3 +96,19 @@ def test_decode_autoregress_consistency():
                                       autoregress_at_key=key))
     y_g = bst.masked_softmax_test(x, scale=1.0, autoregress_at_key=key)
     np.testing.assert_allclose(y, y_g, rtol=1e-4, atol=1e-6)
+
+
+def test_sparsity_module():
+    from blocksparse_tpu import sparsity
+    lay = sparsity.fixed_layout(16, local_blocks=4)
+    assert lay.shape == (16, 16)
+    assert np.tril(lay, -1).sum() + np.diag(lay).sum() == lay.sum()  # causal
+    lay2 = sparsity.strided_layout(16, local_blocks=4)
+    assert lay2[15, 15] == 1
+    lay3 = sparsity.random_layout(8, 8, 0.3, seed=1)
+    assert lay3.any()
+    stats = sparsity.layout_stats(lay)
+    assert 0 < stats["density"] <= 1
+    assert "supertile128_fill_b32" in stats
+    m = sparsity.make_mask(16, "ba_4")
+    assert m.shape == (16, 16)

@@ -19,9 +19,8 @@ matching PartitionSpec tree for shard_map.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Optional
 
 import numpy as np
 import jax
@@ -35,9 +34,7 @@ from blocksparse_tpu.ops.matmul import BlocksparseMatMul
 from blocksparse_tpu.ops.norms import layer_norm
 from blocksparse_tpu.ops.ewops import fast_gelu, float_cast, dropout
 from blocksparse_tpu.ops.embed import embedding_lookup
-from blocksparse_tpu.ops.grads import recomputable
 from blocksparse_tpu.ops import optimize as opt
-from blocksparse_tpu.utils import ceil_div
 
 
 def causal_subblock_mask(blk_shape, head, qry, key, blk):

@@ -9,7 +9,6 @@ standard JAX behavior.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

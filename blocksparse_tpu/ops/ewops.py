@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blocksparse_tpu.utils import get_entropy, scalar_constant
+from blocksparse_tpu.utils import get_entropy
 
 
 # ---------------- basic ops (API parity; XLA fuses) ----------------

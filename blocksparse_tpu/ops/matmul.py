@@ -15,7 +15,6 @@ Differences by design (see SURVEY.md §7):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import scipy.sparse as sparse

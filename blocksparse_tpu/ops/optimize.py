@@ -21,14 +21,9 @@ All update math runs in float32 regardless of state dtype.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-from blocksparse_tpu.ops.ewops import float_cast
 
 
 def _scrub(g, saturate=0.0, zero_infs=False, zero_nans=False):

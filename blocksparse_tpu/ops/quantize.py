@@ -22,7 +22,6 @@ Differences from the reference:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 
 import numpy as np
 import jax

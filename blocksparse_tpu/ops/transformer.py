@@ -34,8 +34,6 @@ import scipy.sparse as sparse
 import jax
 import jax.numpy as jnp
 
-from blocksparse_tpu.utils import scalar_constant
-
 _NEG_MAX = -np.finfo(np.float32).max
 
 

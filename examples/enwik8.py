@@ -134,7 +134,14 @@ def main():
             vx, vy = next(batch_iter(valid, args.n_batch, args.n_ctx, ev))
             vl = float(eval_fn(params, jnp.asarray(vx), jnp.asarray(vy)))
             print(f"  eval bits/byte {vl/np.log(2):6.3f}")
-        if args.profile and step >= args.profile:
+        if args.profile and step == args.profile:
+            from blocksparse_tpu.profiling import trace
+            with trace("/tmp/bs_trace") as logdir:
+                params, opt_state, metrics, loss_scale = step_fn(
+                    params, opt_state, jnp.asarray(x), jnp.asarray(y),
+                    loss_scale)
+                jax.block_until_ready(metrics["loss"])
+            print(f"profiler trace written to {logdir}")
             break
 
 

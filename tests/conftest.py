@@ -15,8 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; force CPU.
-jax.config.update("jax_platforms", "cpu")
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; force CPU
+# (simulated 8-device mesh).  Set BS_TEST_TPU=1 to run the suite against the
+# real chip instead (compiled Mosaic kernels, single device).
+if not os.environ.get("BS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -15,8 +15,9 @@ def test_fused_lstm_gates():
     c2, h2 = lstm.fused_lstm_gates(jnp.asarray(c), jnp.asarray(h),
                                    bias=jnp.asarray(b), forget_bias=1.0)
     c_g, h_g = lstm.lstm_gates_test(c, h, bias=b, forget_bias=1.0)
-    np.testing.assert_allclose(np.asarray(c2), c_g, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(h2), h_g, rtol=1e-5, atol=1e-6)
+    # rtol covers TPU transcendental accuracy (~1e-4 rel)
+    np.testing.assert_allclose(np.asarray(c2), c_g, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h2), h_g, rtol=5e-4, atol=1e-5)
 
     # 4-tensor mode
     i, u, f, o = np.split(h, 4, axis=1)
@@ -24,8 +25,8 @@ def test_fused_lstm_gates():
                                    jnp.asarray(u), jnp.asarray(f),
                                    jnp.asarray(o))
     c_g3, h_g3 = lstm.lstm_gates_test(c, h, forget_bias=1.0)
-    np.testing.assert_allclose(np.asarray(c3), c_g3, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(h3), h_g3, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c3), c_g3, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h3), h_g3, rtol=5e-4, atol=1e-5)
 
 
 def test_split_concat4():

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from blocksparse_tpu.utils import ceil_div, reduce_mul
+from blocksparse_tpu.kernels.bsmm import dot_precision
 
 
 # ---------------- helpers (parity: reference conv.py:1001-1094) --------
@@ -251,11 +252,13 @@ class BlocksparseConv:
             Ig = Ig.reshape((N, self.blocks, bC) + tuple(self.DHW))
             Ig = jnp.moveaxis(Ig, 1, 0)          # (blocks, N, bC, D, H, W)
 
+            prec = dot_precision(I.dtype)
+
             def one(x, f):
                 return jax.lax.conv_general_dilated(
                     x, f, window_strides=self.strides, padding=pad,
                     rhs_dilation=self.dilates, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
             out = jax.vmap(one)(Ig, Fb)          # (blocks, N, bK, M, P, Q)
             out = jnp.moveaxis(out, 1, 0).reshape(
                 (N, self.blocks * bK) + tuple(self.MPQ))
@@ -272,7 +275,8 @@ class BlocksparseConv:
             o = jax.lax.conv_general_dilated(
                 x, blockF, window_strides=self.strides, padding=pad,
                 rhs_dilation=self.dilates, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(I.dtype))
             y = y.at[:, jnp.asarray(np.array(lutK, np.int32))].add(o)
         return y.astype(I.dtype)
 

@@ -705,12 +705,15 @@ def block_reduced_full_dw(xs, gs, bsize=32, axis=0, norm="max", scale=1.0):
     """
     assert len(xs) == len(gs)
     f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST
     acc = None
     for x, g in zip(xs, gs):
         if axis == 0:
-            d = jnp.einsum("cn,kn->ck", x.astype(f32), g.astype(f32))
+            d = jnp.einsum("cn,kn->ck", x.astype(f32), g.astype(f32),
+                           precision=prec)
         else:
-            d = jnp.einsum("nc,nk->ck", x.astype(f32), g.astype(f32))
+            d = jnp.einsum("nc,nk->ck", x.astype(f32), g.astype(f32),
+                           precision=prec)
         acc = d if acc is None else acc + d
     C, K = acc.shape
     blk = acc.reshape(C // bsize, bsize, K // bsize, bsize)

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 import pickle
 
-import numpy as np  # noqa: F401  (dtype handling in metadata)
 
 
 def save(path, params, opt_state=None, ema_state=None, step=0,

@@ -72,11 +72,14 @@ class SparseLSTM:
         self.bsmm_h = BlocksparseMatMul(
             np.tile(layout, (1, 4)), block_size=bs, feature_axis=0,
             name="bsmm_h")
-        # strided dense<->sparse projections (reference layers.py:163-184)
-        self.proj_in = SparseProj(c.nhidden, proj_stride=c.nhidden
-                                  // c.nproj_in)
-        self.proj_out = SparseProj(c.nhidden, proj_stride=c.nhidden
-                                   // c.nproj_out)
+        # strided dense<->sparse projections (reference layers.py:163-184);
+        # projection sizes clamp to the hidden width
+        nproj_in = min(c.nproj_in, c.nhidden)
+        nproj_out = min(c.nproj_out, c.nhidden)
+        self.proj_in = SparseProj(c.nhidden,
+                                  proj_stride=max(c.nhidden // nproj_in, 1))
+        self.proj_out = SparseProj(c.nhidden,
+                                   proj_stride=max(c.nhidden // nproj_out, 1))
 
     def init(self, key):
         c = self.config

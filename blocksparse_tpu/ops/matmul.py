@@ -746,7 +746,7 @@ class SparseProj:
                 np.random.shuffle(gather_lut)
                 gather_lut = np.sort(gather_lut[0:nproj])
             elif proj_stride is not None:
-                assert proj_stride <= nhidden
+                assert 1 <= proj_stride <= nhidden
                 gather_max = ((nhidden // proj_stride) // block_size) \
                     * block_size * proj_stride
                 gather_lut = gather_lut[:gather_max:proj_stride].copy()

@@ -73,8 +73,8 @@ def main():
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
                            else "float32")
     n_dev = jax.device_count()
-    dp = n_dev
-    assert args.n_batch % dp == 0 or dp == 1
+    # data-parallel over all devices when the batch divides cleanly
+    dp = n_dev if args.n_batch % n_dev == 0 else 1
 
     cfg = TransformerConfig(
         n_vocab=256, n_embd=args.n_embd, n_layer=args.n_layer,

@@ -326,17 +326,6 @@ def updat_xla(x, dy, updat_lut, bsize, axis, precision=None):
                           precision=prec)
 
 
-# ------------------------------------------------------------------
-# Resident-x variants.  When the full (C, TN) activation stripe fits in
-# VMEM, keep it resident across all schedule steps: the only per-step DMA
-# is the (contract, bsize) weight panel, so steps are no longer
-# DMA-latency bound.  This is the speed-of-light path for the canonical
-# 4096^2 configs (x stripe 1-8 MB).
-# ------------------------------------------------------------------
-
-VMEM_RESIDENT_BUDGET = 6 * 1024 * 1024
-
-
 def choose_contract_blocks(bsize: int, entries_per_row, max_contract=512,
                            max_waste=0.15) -> int:
     """Pick G (blocks packed per step) balancing MXU depth vs padding waste.
@@ -356,192 +345,6 @@ def choose_contract_blocks(bsize: int, entries_per_row, max_contract=512,
         if waste <= max_waste:
             return G
     return best
-
-
-def _xprop_resident_kernel(G, bsize, trans_w, precision, out_idx_ref,
-                           in_idx_ref, x_ref, w_ref, out_ref):
-    s = pl.program_id(1)
-    prev = out_idx_ref[jnp.maximum(s - 1, 0)]
-    is_first = jnp.logical_or(s == 0, out_idx_ref[s] != prev)
-
-    @pl.when(is_first)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    xcat = jnp.concatenate(
-        [x_ref[pl.ds(in_idx_ref[s, i] * bsize, bsize), :] for i in range(G)],
-        axis=0)                                                # (G*b, TN)
-    wcat = w_ref[0]
-    dims = (((1,), (0,)), ((), ())) if trans_w else (((0,), (0,)), ((), ()))
-    out_ref[...] += jax.lax.dot_general(
-        wcat, xcat, dims, preferred_element_type=jnp.float32,
-        precision=precision)
-
-
-def xprop_pallas_resident(x, w, sched: XpropSchedule, bsize: int,
-                          trans_w: bool, out_blocks: int,
-                          tile_n: int | None = None, precision=None):
-    G = sched.G
-    C, N = x.shape
-    TN = tile_n or pick_tile(N)
-    assert N % TN == 0, (N, TN)
-    S = sched.num_steps
-    prec = dot_precision(x.dtype, precision)
-
-    w_sched = gather_w_sched(w, sched, trans_w)
-
-    in_specs = [
-        pl.BlockSpec((C, TN), lambda n, s, oi, ii: (0, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,) + w_sched.shape[1:],
-                     lambda n, s, oi, ii: (s, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((bsize, TN), lambda n, s, oi, ii: (oi[s], n),
-                            memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(N // TN, S),
-        in_specs=in_specs,
-        out_specs=out_spec,
-    )
-    flops = 2 * S * N * bsize * bsize * G
-    cost = pl.CostEstimate(
-        flops=flops,
-        bytes_accessed=x.size * x.dtype.itemsize
-        + (N // TN) * w_sched.size * w_sched.dtype.itemsize
-        + out_blocks * bsize * N * 4,
-        transcendentals=0,
-    )
-    fn = pl.pallas_call(
-        functools.partial(_xprop_resident_kernel, G, bsize, trans_w, prec),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_blocks * bsize, N), jnp.float32),
-        cost_estimate=cost,
-        interpret=use_interpret(),
-    )
-    return fn(jnp.asarray(sched.out_idx), jnp.asarray(sched.in_idx),
-              x, w_sched)
-
-
-def resident_fits(C, N, itemsize, tile_n=None,
-                  budget=VMEM_RESIDENT_BUDGET) -> bool:
-    TN = tile_n or pick_tile(N)
-    return C * TN * itemsize <= budget
-
-
-# ------------------------------------------------------------------
-# Packed updat: steps of G entries sharing one input block-row cb,
-# emitting a (b, G*b) panel of dw blocks per step (full output lanes).
-# Result is unpacked to (blocks, b, b) with one gather.
-# ------------------------------------------------------------------
-
-@dataclass
-class UpdatSchedule:
-    cb: np.ndarray        # (S,) shared input block-row per step
-    kb: np.ndarray        # (S, G) dy block-rows per slot
-    perm: np.ndarray      # (blocks,) flat (step*G + slot) position per block id
-    G: int
-
-    @property
-    def num_steps(self):
-        return self.cb.shape[0]
-
-
-def build_updat_schedule(updat_list, G: int) -> UpdatSchedule:
-    blocks = len(updat_list)
-    by_cb = {}
-    for w, (c, k) in enumerate(updat_list):
-        by_cb.setdefault(c, []).append((k, w))
-    cb_arr, kb_arr = [], []
-    perm = np.zeros(blocks, np.int64)
-    step = 0
-    for c in sorted(by_cb):
-        ents = sorted(by_cb[c])
-        for s0 in range(0, len(ents), G):
-            chunk = ents[s0:s0 + G]
-            cb_arr.append(c)
-            row_k = []
-            for i in range(G):
-                if i < len(chunk):
-                    k, w = chunk[i]
-                    row_k.append(k)
-                    perm[w] = step * G + i
-                else:
-                    row_k.append(0)
-            kb_arr.append(row_k)
-            step += 1
-    return UpdatSchedule(
-        cb=np.asarray(cb_arr, np.int32),
-        kb=np.asarray(kb_arr, np.int32),
-        perm=perm.astype(np.int32),
-        G=G,
-    )
-
-
-def _updat_packed_kernel(G, bsize, precision, cb_ref, kb_ref, x_ref, dy_ref,
-                         out_ref):
-    n = pl.program_id(1)
-    s = pl.program_id(0)
-
-    @pl.when(n == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    xblk = x_ref[pl.ds(cb_ref[s] * bsize, bsize), :]           # (b, TN)
-    dycat = jnp.concatenate(
-        [dy_ref[pl.ds(kb_ref[s, i] * bsize, bsize), :] for i in range(G)],
-        axis=0)                                                # (G*b, TN)
-    out_ref[0] += jax.lax.dot_general(
-        xblk, dycat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-
-
-def updat_pallas_packed(x, dy, sched: UpdatSchedule, bsize: int, blocks: int,
-                        tile_n: int | None = None, precision=None):
-    """x (C, N), dy (K, N) feature-major; returns dw (blocks, b, b) f32."""
-    G = sched.G
-    C, N = x.shape
-    K, _ = dy.shape
-    TN = tile_n or pick_tile(N)
-    assert N % TN == 0
-    S = sched.num_steps
-    prec = dot_precision(x.dtype, precision)
-
-    in_specs = [
-        pl.BlockSpec((C, TN), lambda s, n, cb, kb: (0, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, TN), lambda s, n, cb, kb: (0, n),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((1, bsize, G * bsize),
-                            lambda s, n, cb, kb: (s, 0, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(S, N // TN),
-        in_specs=in_specs,
-        out_specs=out_spec,
-    )
-    cost = pl.CostEstimate(
-        flops=2 * S * G * bsize * bsize * N,
-        bytes_accessed=x.size * x.dtype.itemsize
-        + dy.size * dy.dtype.itemsize + S * bsize * G * bsize * 4,
-        transcendentals=0,
-    )
-    fn = pl.pallas_call(
-        functools.partial(_updat_packed_kernel, G, bsize, prec),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, bsize, G * bsize), jnp.float32),
-        cost_estimate=cost,
-        interpret=use_interpret(),
-    )
-    packed = fn(jnp.asarray(sched.cb),
-                jnp.asarray(sched.kb.reshape(sched.groups, -1)), x, dy)
-    flat = packed.reshape(S, bsize, G, bsize).transpose(0, 2, 1, 3) \
-                 .reshape(S * G, bsize, bsize)
-    return flat[jnp.asarray(sched.perm)]
 
 
 # ------------------------------------------------------------------
@@ -921,6 +724,389 @@ def xprop_pallas_grouped_panels(x, w_panels, sched: GroupedSchedule,
     if out_rows_padded != sched.n_out_blocks:
         out = out[:sched.n_out_blocks * bsize]
     return out
+
+
+# ------------------------------------------------------------------
+# Dense-tile schedules: fill ALL 128 MXU output lanes for bsize < 128.
+#
+# A single MXU pass computes a (128, Gb) x (Gb, TN) product.  Arranged as
+# R = 128/bsize output block-rows times G = 128/bsize input block-columns,
+# that one pass covers an (R x G) *rectangle* of layout cells: cell (r, i)
+# holds the weight block connecting input column i to output row r, or
+# zeros when the layout has no block there.  The host groups R consecutive
+# output block-rows, takes the union of their input columns, and tiles the
+# union into G-column chunks; every chunk is one full-width MXU pass that
+# advances all R rows at once.
+#
+# Effective MXU utilization = nnz / (R * |union|): ~1.0 for layouts with
+# row locality (banded, local, strided) and density/(1-(1-density)^R) for
+# random layouts — always >= the per-row grouped kernel's bsize/128, which
+# this mode supersedes for fine blocks (the reference gets the same
+# effect for free from 8x8..32x32 GPU tensor-core tiles; the 128x128 MXU
+# needs the rectangle packing).  Replaces the per-block LUT walk of
+# /root/reference/src/blocksparse_matmul_op_gpu.cu at full lane occupancy.
+# ------------------------------------------------------------------
+
+@dataclass
+class DenseTileSchedule:
+    in_idx: np.ndarray    # (groups, CH, G) input block-row per slot (0 pads)
+    wpos: np.ndarray      # (groups, R, CH*G) block id, or `blocks` (zero)
+    cnt: np.ndarray       # (groups,) real chunk count (<= CH); the kernel
+                          # loops to cnt so CH-max padding costs no passes
+    n_out_blocks: int
+    R: int
+    G: int
+    blocks: int           # sentinel id for the appended zero block
+
+    @property
+    def groups(self):
+        return self.wpos.shape[0]
+
+    @property
+    def CH(self):
+        return self.in_idx.shape[1]
+
+    @property
+    def num_chunks(self):
+        return int(self.cnt.sum())
+
+
+def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
+                              blocks: int, R: int | None = None,
+                              G: int | None = None) -> DenseTileSchedule:
+    """entries_per_row: list (len n_out_blocks) of lists of (in_blk, w_id)."""
+    R = R or max(1, CONTRACT // bsize)
+    G = G or max(1, CONTRACT // bsize)
+    groups = -(-n_out_blocks // R)
+    unions = []
+    for g in range(groups):
+        cols = set()
+        for r in range(R):
+            row = g * R + r
+            if row >= n_out_blocks:
+                break
+            for (cb, _w) in entries_per_row[row]:
+                cols.add(cb)
+        unions.append(sorted(cols))
+    CH = max(1, max(-(-len(u) // G) for u in unions))
+    in_idx = np.zeros((groups, CH, G), np.int32)
+    wpos = np.full((groups, R, CH * G), blocks, np.int32)
+    cnt = np.array([-(-len(u) // G) for u in unions], np.int32)
+    for g, cols in enumerate(unions):
+        slot_of = {}
+        for p, cb in enumerate(cols):
+            in_idx[g, p // G, p % G] = cb
+            slot_of[cb] = p
+        for r in range(R):
+            row = g * R + r
+            if row >= n_out_blocks:
+                break
+            for (cb, w) in entries_per_row[row]:
+                wpos[g, r, slot_of[cb]] = w
+    return DenseTileSchedule(in_idx=in_idx, wpos=wpos, cnt=cnt,
+                             n_out_blocks=n_out_blocks, R=R, G=G,
+                             blocks=blocks)
+
+
+def dense_tile_panels(w, sched: DenseTileSchedule, trans_w: bool,
+                      wpos=None, trans_cells=None):
+    """Gather weight blocks into per-group MXU panels.
+
+    Returns (groups, CH*R*bsize, G*bsize): chunk j occupies sublane rows
+    [j*128, (j+1)*128); within a chunk, row band r x column band i holds
+    the block for layout cell (r, i).  fprop (trans_w=False) needs the
+    per-cell transpose (y_r += W_cell^T x_i in CN orientation); bprop
+    (trans_w=True) uses the blocks as stored.
+
+    wpos overrides sched.wpos (e.g. remapped into a packed block store);
+    absent cells must then use sentinel id == len(w).  trans_cells
+    overrides the cell transpose (for stores whose cells are already
+    transposed).
+    """
+    b = w.shape[1]
+    groups, R, _ = sched.wpos.shape
+    CH, G = sched.CH, sched.G
+    if wpos is None:
+        wpos = sched.wpos
+    if trans_cells is None:
+        trans_cells = not trans_w
+    w_ext = jnp.concatenate(
+        [w, jnp.zeros((1, b, b), w.dtype)], axis=0)
+    cells = w_ext[jnp.asarray(wpos)]                # (groups, R, CH*G, b, b)
+    if trans_cells:
+        cells = cells.swapaxes(-1, -2)
+    cells = cells.reshape(groups, R, CH, G, b, b)
+    # -> (g, CH, R, brow, G, bcol)
+    panels = cells.transpose(0, 2, 1, 4, 3, 5)
+    return panels.reshape(groups, CH * R * b, G * b)
+
+
+def dense_tile_flat_pos(sched: DenseTileSchedule) -> np.ndarray:
+    """pos[w_id] = flat cell index (g*R + r)*(CH*G) + slot in the fprop
+    panel store (matches the block order of ``dense_tile_blocks_view``)."""
+    pos = np.full(sched.blocks, -1, np.int64)
+    g, r, s = np.nonzero(sched.wpos != sched.blocks)
+    w = sched.wpos[g, r, s]
+    pos[w] = (g * sched.R + r) * (sched.CH * sched.G) + s
+    assert (pos >= 0).all(), "layout block missing from dense-tile schedule"
+    return pos.astype(np.int32)
+
+
+def dense_tile_blocks_view(panels, sched: DenseTileSchedule, bsize: int):
+    """Panel store -> (groups*R*CH*G, b, b) cell array in flat-pos order.
+    Cells keep the store's per-cell transpose (W^T for fprop panels)."""
+    groups, CH, G, R = sched.groups, sched.CH, sched.G, sched.R
+    return panels.reshape(groups, CH, R, bsize, G, bsize) \
+                 .transpose(0, 2, 1, 4, 3, 5) \
+                 .reshape(groups * R * CH * G, bsize, bsize)
+
+
+def _xprop_dense_tile_kernel(CH, G, bsize, precision, cnt_ref, idx_ref,
+                             x_ref, w_ref, out_ref, acc_ref):
+    g = pl.program_id(1)
+    Gb = G * bsize
+    M = acc_ref.shape[0]                           # R * bsize (= 128)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    n_ch = cnt_ref[g]
+
+    def chunk(j):
+        xcat = jnp.concatenate(
+            [x_ref[pl.ds(idx_ref[g, j * G + i] * bsize, bsize), :]
+             for i in range(G)], axis=0)                       # (Gb, TN)
+        wch = w_ref[0, pl.ds(j * M, M), :]                     # (M, Gb)
+        acc_ref[...] += jax.lax.dot_general(
+            wch, xcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    # only the group's real chunks run: CH-max padding costs DMA, no passes
+    if CH <= UNROLL_MAX_CH:
+        for j in range(CH):
+            @pl.when(j < n_ch)
+            def _(j=j):
+                chunk(j)
+    else:
+        def body(j, carry):
+            chunk(j)
+            return carry
+        jax.lax.fori_loop(0, n_ch, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
+                            bsize: int, tile_n: int | None = None,
+                            precision=None, out_dtype=None):
+    """x (C, N) feature-major; w_panels from ``dense_tile_panels`` (or
+    packed storage).  Returns (n_out_blocks*bsize, N)."""
+    C, N = x.shape
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+    R, G, CH = sched.R, sched.G, sched.CH
+    groups = sched.groups
+    M = R * bsize
+    out_dtype = out_dtype or x.dtype
+
+    in_specs = [
+        pl.BlockSpec((C, TN), lambda n, g, cc, ii: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w_panels.shape[1:],
+                     lambda n, g, cc, ii: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((M, TN), lambda n, g, cc, ii: (g, n),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * sched.num_chunks * M * G * bsize * N,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + (N // TN) * w_panels.size * w_panels.dtype.itemsize
+        + groups * M * N * 4,
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, groups),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((M, TN), jnp.float32)],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_xprop_dense_tile_kernel, CH, G, bsize, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups * M, N), out_dtype),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    out = fn(jnp.asarray(sched.cnt),
+             jnp.asarray(sched.in_idx.reshape(groups, -1)), x, w_panels)
+    if groups * R != sched.n_out_blocks:
+        out = out[:sched.n_out_blocks * bsize]
+    return out
+
+
+def dense_tile_vmem_estimate(C, TN, itemsize, sched: DenseTileSchedule,
+                             bsize, out_itemsize=4):
+    panel = sched.CH * sched.R * bsize * sched.G * bsize * itemsize
+    M = sched.R * bsize
+    return (2 * C * TN * itemsize
+            + 2 * panel
+            + M * TN * (out_itemsize + 4)
+            + sched.G * bsize * TN * itemsize)
+
+
+# ---- dense-tile updat: one pass emits an (R x G) rectangle of dw blocks --
+
+@dataclass
+class UpdatDenseTileSchedule:
+    kdx: np.ndarray       # (groups, CH, G) dy block-row per slot
+    epos: np.ndarray      # (blocks,) flat (g, r, j, i) position per block id
+    cnt: np.ndarray       # (groups,) real chunk count (<= CH)
+    n_cb: int             # number of input (C) block-rows
+    R: int
+    G: int
+
+    @property
+    def groups(self):
+        return self.kdx.shape[0]
+
+    @property
+    def CH(self):
+        return self.kdx.shape[1]
+
+    @property
+    def num_chunks(self):
+        return int(self.cnt.sum())
+
+
+def build_updat_dense_tile_schedule(updat_list, n_cb: int, bsize: int,
+                                    R: int | None = None,
+                                    G: int | None = None) -> UpdatDenseTileSchedule:
+    R = R or max(1, CONTRACT // bsize)
+    G = G or max(1, CONTRACT // bsize)
+    groups = -(-n_cb // R)
+    per_row = [[] for _ in range(n_cb)]
+    for w, (c, k) in enumerate(updat_list):
+        per_row[c].append((k, w))
+    unions = []
+    for g in range(groups):
+        cols = set()
+        for r in range(R):
+            row = g * R + r
+            if row >= n_cb:
+                break
+            for (k, _w) in per_row[row]:
+                cols.add(k)
+        unions.append(sorted(cols))
+    CH = max(1, max(-(-len(u) // G) for u in unions))
+    kdx = np.zeros((groups, CH, G), np.int32)
+    cnt = np.array([-(-len(u) // G) for u in unions], np.int32)
+    epos = np.zeros(len(updat_list), np.int64)
+    for g, cols in enumerate(unions):
+        slot_of = {}
+        for p, k in enumerate(cols):
+            kdx[g, p // G, p % G] = k
+            slot_of[k] = p
+        for r in range(R):
+            row = g * R + r
+            if row >= n_cb:
+                break
+            for (k, w) in per_row[row]:
+                epos[w] = (g * R + r) * (CH * G) + slot_of[k]
+    return UpdatDenseTileSchedule(kdx=kdx, epos=epos.astype(np.int32),
+                                  cnt=cnt, n_cb=n_cb, R=R, G=G)
+
+
+def _updat_dense_tile_kernel(CH, G, R, bsize, precision, cnt_ref, kdx_ref,
+                             x_ref, dy_ref, out_ref):
+    g = pl.program_id(0)
+    n = pl.program_id(1)
+    Gb = G * bsize
+    M = R * bsize
+    n_ch = cnt_ref[g]
+
+    @pl.when(n == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xstack = x_ref[pl.ds(g * M, M), :]                         # (M, TN)
+
+    def chunk(j):
+        dycat = jnp.concatenate(
+            [dy_ref[pl.ds(kdx_ref[g, j * G + i] * bsize, bsize), :]
+             for i in range(G)], axis=0)                       # (Gb, TN)
+        out_ref[0, pl.ds(j * M, M), :] += jax.lax.dot_general(
+            xstack, dycat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    if CH <= UNROLL_MAX_CH:
+        for j in range(CH):
+            @pl.when(j < n_ch)
+            def _(j=j):
+                chunk(j)
+    else:
+        def body(j, carry):
+            chunk(j)
+            return carry
+        jax.lax.fori_loop(0, n_ch, body, 0)
+
+
+def updat_pallas_dense_tile(x, dy, sched: UpdatDenseTileSchedule, bsize: int,
+                            tile_n: int | None = None, precision=None):
+    """x (C, N), dy (K, N) feature-major; returns dw (blocks, b, b) f32.
+
+    One grid step computes x-rows [g*128, (g+1)*128) against every dy
+    column chunk in the group's union — an (R x G) rectangle of candidate
+    dw blocks per MXU pass; the layout's blocks are gathered out of the
+    packed panel afterwards.
+    """
+    G, CH, R = sched.G, sched.CH, sched.R
+    groups = sched.groups
+    C, N = x.shape
+    K, _ = dy.shape
+    M = R * bsize
+    Gb = G * bsize
+    TN = tile_n or pick_tile(N)
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+    # contiguous (g*M, M) x slices must stay in bounds
+    pad_rows = groups * M - C
+    if pad_rows > 0:
+        x = jnp.pad(x, ((0, pad_rows), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((groups * M, TN), lambda g, n, cc, kd: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, TN), lambda g, n, cc, kd: (0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, CH * M, Gb), lambda g, n, cc, kd: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(groups, N // TN),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * sched.num_chunks * M * Gb * N,
+        bytes_accessed=x.size * x.dtype.itemsize
+        + dy.size * dy.dtype.itemsize + groups * CH * M * Gb * 4,
+        transcendentals=0,
+    )
+    fn = pl.pallas_call(
+        functools.partial(_updat_dense_tile_kernel, CH, G, R, bsize, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, CH * M, Gb), jnp.float32),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    packed = fn(jnp.asarray(sched.cnt),
+                jnp.asarray(sched.kdx.reshape(groups, -1)), x, dy)
+    # (groups, CH, R, b, G, b) -> (groups, R, CH, G, b, b), flat block order
+    # (g, r, j, i) matching epos
+    flat = packed.reshape(groups, CH, R, bsize, G, bsize) \
+                 .transpose(0, 2, 1, 4, 3, 5) \
+                 .reshape(groups * R * CH * G, bsize, bsize)
+    return flat[jnp.asarray(sched.epos)]
 
 
 # ------------------------------------------------------------------

@@ -24,11 +24,14 @@ import jax.numpy as jnp
 from blocksparse_tpu.utils import ceil_div, z_order_2d, round_up
 from blocksparse_tpu.kernels import bsmm as bsmm_kernels
 from blocksparse_tpu.kernels.bsmm import (
-    XpropSchedule, build_xprop_schedule, build_updat_schedule,
+    XpropSchedule, build_xprop_schedule,
     build_grouped_schedule, build_updat_grouped_schedule,
-    default_rows_per_group, choose_contract_blocks, resident_fits,
+    default_rows_per_group, choose_contract_blocks,
     grouped_vmem_estimate, packed_len, packed_positions,
     fprop_panels_from_packed, build_supertile_schedule, CONTRACT,
+    build_dense_tile_schedule, build_updat_dense_tile_schedule,
+    dense_tile_panels, dense_tile_vmem_estimate,
+    dense_tile_flat_pos, dense_tile_blocks_view,
 )
 import copy as _copy
 from blocksparse_tpu.kernels.common import pick_tile
@@ -62,7 +65,7 @@ class BlocksparseMatMul:
         return {"layout": self.layout, "block_size": self.bsize,
                 "feature_axis": self.axis, "z_order": self.z_order,
                 "name": self.name, "impl": self.impl,
-                "w_layout": self.w_layout}
+                "w_layout": self.w_layout, "mode": self.mode}
 
     def __setstate__(self, state):
         if isinstance(state, tuple):  # legacy tuple form
@@ -71,21 +74,29 @@ class BlocksparseMatMul:
             self.__init__(**state)
 
     def __init__(self, layout, block_size=32, feature_axis=0, z_order=True,
-                 name=None, impl=None, tile_n=None, w_layout="blocks"):
+                 name=None, impl=None, tile_n=None, w_layout="blocks",
+                 mode="auto"):
         """w_layout="fprop_packed" stores weights in fprop schedule order
         (zero padding blocks included): the fprop weight panels become a
         free reshape instead of a gather — about 3 fewer W-sized HBM
         passes per fprop.  w_shape changes accordingly; use
-        pack_weights/unpack_weights to convert."""
+        pack_weights/unpack_weights to convert.
+
+        mode: "auto" picks per direction between the per-row grouped /
+        supertile kernels and the dense-tile rectangle kernel (full
+        128-lane MXU output tiles for bsize < 128) by estimated MXU pass
+        count; "grouped" / "dense_tile" pin it."""
         if block_size not in (8, 16, 32, 64, 128):
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")
+        assert mode in ("auto", "grouped", "dense_tile")
         self.axis = feature_axis
         self.bsize = block_size
         self.z_order = z_order
         self.impl = impl
         self.tile_n = tile_n
         self.w_layout = w_layout
+        self.mode = mode
 
         assert len(layout.shape) == 2
         CB, KB = layout.shape
@@ -134,7 +145,6 @@ class BlocksparseMatMul:
         self.G = G_f
         self.fprop_sched = build_xprop_schedule(fprop_rows, KB, G_f)
         self.bprop_sched = build_xprop_schedule(bprop_rows, CB, G_b)
-        self.updat_sched = build_updat_schedule(updat_list, G_b)
         R_f = default_rows_per_group(block_size, KB, blocks / KB)
         R_b = default_rows_per_group(block_size, CB, blocks / CB)
         # Two grouped-kernel modes per direction: supertile (contiguous
@@ -176,6 +186,39 @@ class BlocksparseMatMul:
         self.supertile_inflation = (infl_f, infl_b)
         self.updat_grouped = build_updat_grouped_schedule(updat_list, G_b)
 
+        # Dense-tile rectangle schedules: one MXU pass covers an
+        # (R x G) = (128/b x 128/b) rectangle of layout cells, filling all
+        # 128 output lanes for bsize < 128.  Each chunk is one 128-deep
+        # MXU pass in every mode, so the mode with fewer chunks wins;
+        # dense-tile chunks <= per-row chunks whenever rows in a group
+        # share input columns (always true at density >~ 1/R).
+        R_dt = CONTRACT // block_size
+        self.fprop_dt = self.bprop_dt = self.updat_dt = None
+        self.mode_f = self.mode_b = self.mode_u = "grouped"
+        if R_dt > 1 and mode != "grouped":
+            fprop_dt = build_dense_tile_schedule(fprop_rows, KB, block_size,
+                                                 blocks)
+            bprop_dt = build_dense_tile_schedule(bprop_rows, CB, block_size,
+                                                 blocks)
+            updat_dt = build_updat_dense_tile_schedule(updat_list, CB,
+                                                       block_size)
+
+            def _chunks(s):
+                # MXU pass-equivalents: a chunk of contraction depth G*b
+                # costs ceil(G*b/128) passes (output rows <=128 round to 1)
+                return s.groups * s.CH * max(1, s.G * block_size // CONTRACT)
+
+            force = mode == "dense_tile"
+            if force or fprop_dt.num_chunks < _chunks(self.fprop_grouped):
+                self.fprop_dt = fprop_dt
+                self.mode_f = "dense_tile"
+            if force or bprop_dt.num_chunks < _chunks(self.bprop_grouped):
+                self.bprop_dt = bprop_dt
+                self.mode_b = "dense_tile"
+            if force or updat_dt.num_chunks < _chunks(self.updat_grouped):
+                self.updat_dt = updat_dt
+                self.mode_u = "dense_tile"
+
         # flat sorted entry arrays for the XLA fallback impl
         def _flat(rows):
             ib, wb, ob = [], [], []
@@ -197,7 +240,21 @@ class BlocksparseMatMul:
         self.name = name or "BlocksparseMatMul"
         self.blocks = blocks
         self.flops = blocks * block_size * block_size * 2
-        if w_layout == "fprop_packed":
+        if w_layout == "fprop_packed" and self.mode_f == "dense_tile":
+            # Packed store IS the fprop dense-tile panel array (cells
+            # pre-transposed): fprop runs with zero weight gathers.
+            fdt = self.fprop_dt
+            self._dt_flat_pos = dense_tile_flat_pos(fdt)
+            self.packed_blocks = fdt.groups * fdt.R * fdt.CH * fdt.G
+            self.w_shape = (fdt.groups, fdt.CH * fdt.R * block_size,
+                            fdt.G * block_size)
+            if self.mode_b == "dense_tile":
+                wp = self.bprop_dt.wpos
+                self._bprop_dt_wpos_packed = np.where(
+                    wp == blocks, self.packed_blocks,
+                    self._dt_flat_pos[np.minimum(wp, blocks - 1)]
+                ).astype(np.int32)
+        elif w_layout == "fprop_packed":
             self.packed_blocks = packed_len(self.fprop_grouped)
             self._packed_pos = packed_positions(self.fprop_grouped, blocks)
             # bprop schedule remapped to packed slot ids
@@ -207,6 +264,12 @@ class BlocksparseMatMul:
             bs_ = _copy.copy(self.bprop_sched)
             bs_.w_idx = self._packed_pos[self.bprop_sched.w_idx]
             self.bprop_sched_packed = bs_
+            if self.mode_b == "dense_tile":
+                wp = self.bprop_dt.wpos
+                self._bprop_dt_wpos_packed = np.where(
+                    wp == blocks, self.packed_blocks,
+                    self._packed_pos[np.minimum(wp, blocks - 1)]
+                ).astype(np.int32)
             # updat schedule emitting grads straight into packed slots
             ug = _copy.copy(self.updat_grouped)
             S2G = ug.groups * ug.CH * ug.G
@@ -434,11 +497,34 @@ class BlocksparseMatMul:
                 return None
             TN //= 2
 
+    def _dt_tile(self, C_in, sched, n, itemsize, budget=13 * 1024 * 1024):
+        """Pick an N-tile for the dense-tile kernel that fits VMEM, or None."""
+        TN = self.tile_n or pick_tile(n)
+        while True:
+            est = dense_tile_vmem_estimate(C_in, TN, itemsize, sched,
+                                           self.bsize)
+            if est <= budget:
+                return TN
+            if TN % 2 or TN <= 128:
+                return None
+            TN //= 2
+
     # ---------------- packed weight conversions ----------------
 
     def pack_weights(self, w):
         """(blocks, b, b) canonical -> fprop-packed layout (NumPy or jnp)."""
         assert self.w_layout == "fprop_packed"
+        if self.mode_f == "dense_tile":
+            fdt = self.fprop_dt
+            b = self.bsize
+            if isinstance(w, np.ndarray):
+                w_ext = np.concatenate(
+                    [w, np.zeros((1, b, b), w.dtype)], axis=0)
+                cells = w_ext[fdt.wpos].swapaxes(-1, -2)
+                cells = cells.reshape(fdt.groups, fdt.R, fdt.CH, fdt.G, b, b)
+                return cells.transpose(0, 2, 1, 4, 3, 5) \
+                            .reshape(self.w_shape)
+            return dense_tile_panels(w, fdt, trans_w=False)
         if isinstance(w, np.ndarray):
             out = np.zeros(self.w_shape, w.dtype)
             out[self._packed_pos] = w
@@ -448,6 +534,17 @@ class BlocksparseMatMul:
 
     def unpack_weights(self, w_packed):
         assert self.w_layout == "fprop_packed"
+        if self.mode_f == "dense_tile":
+            fdt = self.fprop_dt
+            b = self.bsize
+            if isinstance(w_packed, np.ndarray):
+                pv = w_packed.reshape(fdt.groups, fdt.CH, fdt.R, b,
+                                      fdt.G, b) \
+                             .transpose(0, 2, 1, 4, 3, 5) \
+                             .reshape(-1, b, b)
+                return pv[self._dt_flat_pos].swapaxes(-1, -2)
+            pv = dense_tile_blocks_view(w_packed, fdt, b)
+            return pv[jnp.asarray(self._dt_flat_pos)].swapaxes(-1, -2)
         if isinstance(w_packed, np.ndarray):
             return w_packed[self._packed_pos]
         return w_packed[jnp.asarray(self._packed_pos)]
@@ -485,23 +582,43 @@ class BlocksparseMatMul:
         if impl == "pallas":
             xcn = x if self.axis == 0 else x.T
             xp, n0 = self._pallas_pad(xcn, True)
-            TN = self._grouped_tile(self.C, self.fprop_grouped, xp.shape[1],
-                                    xp.dtype.itemsize)
-            if TN is not None:
-                xp = self._pad_rows_for(xp, self.fprop_grouped)
-                if self.w_layout == "fprop_packed":
-                    panels = fprop_panels_from_packed(w, self.fprop_grouped)
-                    y = bsmm_kernels.xprop_pallas_grouped_panels(
-                        xp, panels, self.fprop_grouped, self.bsize, False,
-                        tile_n=TN, out_dtype=x.dtype)
+            y = None
+            grouped_packed = self.w_layout == "fprop_packed" \
+                and self.mode_f != "dense_tile"
+            if self.mode_f == "dense_tile":
+                TN = self._dt_tile(self.C, self.fprop_dt, xp.shape[1],
+                                   xp.dtype.itemsize)
+                if TN is not None:
+                    if self.w_layout == "fprop_packed":
+                        panels = w
+                    else:
+                        panels = dense_tile_panels(w, self.fprop_dt, False)
+                    y = bsmm_kernels.xprop_pallas_dense_tile(
+                        xp, panels, self.fprop_dt, self.bsize, tile_n=TN,
+                        out_dtype=x.dtype)
                 else:
-                    y = bsmm_kernels.xprop_pallas_grouped(
-                        xp, w, self.fprop_grouped, self.bsize, False,
-                        tile_n=TN, out_dtype=x.dtype)
-            else:
-                y = bsmm_kernels.xprop_pallas(
-                    xp, self._canonical_w(w), self.fprop_sched, self.bsize,
-                    False, self.KB, tile_n=self.tile_n)
+                    # panel exceeds VMEM: fall back to the grouped path
+                    w = self._canonical_w(w)
+            if y is None:
+                TN = self._grouped_tile(self.C, self.fprop_grouped,
+                                        xp.shape[1], xp.dtype.itemsize)
+                if TN is not None:
+                    xp = self._pad_rows_for(xp, self.fprop_grouped)
+                    if grouped_packed:
+                        panels = fprop_panels_from_packed(
+                            w, self.fprop_grouped)
+                        y = bsmm_kernels.xprop_pallas_grouped_panels(
+                            xp, panels, self.fprop_grouped, self.bsize,
+                            False, tile_n=TN, out_dtype=x.dtype)
+                    else:
+                        y = bsmm_kernels.xprop_pallas_grouped(
+                            xp, w, self.fprop_grouped, self.bsize, False,
+                            tile_n=TN, out_dtype=x.dtype)
+                else:
+                    wc = self.unpack_weights(w) if grouped_packed else w
+                    y = bsmm_kernels.xprop_pallas(
+                        xp, wc, self.fprop_sched, self.bsize,
+                        False, self.KB, tile_n=self.tile_n)
             y = y[:, :n0].astype(x.dtype)
             return y if self.axis == 0 else y.T
         ib, wb, ob = self._fprop_flat
@@ -514,19 +631,49 @@ class BlocksparseMatMul:
         if impl == "pallas":
             dycn = dy if self.axis == 0 else dy.T
             dyp, n0 = self._pallas_pad(dycn, True)
-            TN = self._grouped_tile(self.K, self.bprop_grouped, dyp.shape[1],
-                                    dyp.dtype.itemsize)
-            if TN is not None:
-                bsched = self.bprop_grouped_packed \
-                    if self.w_layout == "fprop_packed" else self.bprop_grouped
-                dyp = self._pad_rows_for(dyp, bsched)
-                dx = bsmm_kernels.xprop_pallas_grouped(
-                    dyp, w, bsched, self.bsize, True,
-                    tile_n=TN, out_dtype=dy.dtype)
-            else:
-                dx = bsmm_kernels.xprop_pallas(
-                    dyp, self._canonical_w(w), self.bprop_sched, self.bsize,
-                    True, self.CB, tile_n=self.tile_n)
+            dx = None
+            dt_packed = self.w_layout == "fprop_packed" \
+                and self.mode_f == "dense_tile"
+            grouped_packed = self.w_layout == "fprop_packed" \
+                and not dt_packed
+            if self.mode_b == "dense_tile":
+                TN = self._dt_tile(self.K, self.bprop_dt, dyp.shape[1],
+                                   dyp.dtype.itemsize)
+                if TN is not None:
+                    if dt_packed:
+                        # store cells are W^T: re-gather, transposing back
+                        pv = dense_tile_blocks_view(w, self.fprop_dt,
+                                                    self.bsize)
+                        panels = dense_tile_panels(
+                            pv, self.bprop_dt, True,
+                            wpos=self._bprop_dt_wpos_packed,
+                            trans_cells=True)
+                    elif grouped_packed:
+                        panels = dense_tile_panels(
+                            w, self.bprop_dt, True,
+                            wpos=self._bprop_dt_wpos_packed)
+                    else:
+                        panels = dense_tile_panels(w, self.bprop_dt, True)
+                    dx = bsmm_kernels.xprop_pallas_dense_tile(
+                        dyp, panels, self.bprop_dt, self.bsize, tile_n=TN,
+                        out_dtype=dy.dtype)
+            if dx is None:
+                if dt_packed:
+                    w = self.unpack_weights(w)
+                TN = self._grouped_tile(self.K, self.bprop_grouped,
+                                        dyp.shape[1], dyp.dtype.itemsize)
+                if TN is not None:
+                    bsched = self.bprop_grouped_packed \
+                        if grouped_packed else self.bprop_grouped
+                    dyp = self._pad_rows_for(dyp, bsched)
+                    dx = bsmm_kernels.xprop_pallas_grouped(
+                        dyp, w, bsched, self.bsize, True,
+                        tile_n=TN, out_dtype=dy.dtype)
+                else:
+                    wc = self.unpack_weights(w) if grouped_packed else w
+                    dx = bsmm_kernels.xprop_pallas(
+                        dyp, wc, self.bprop_sched, self.bsize,
+                        True, self.CB, tile_n=self.tile_n)
             dx = dx[:, :n0].astype(dy.dtype)
             return dx if self.axis == 0 else dx.T
         ib, wb, ob = self._bprop_flat
@@ -541,6 +688,25 @@ class BlocksparseMatMul:
             dycn = dy if self.axis == 0 else dy.T
             xp, _ = self._pallas_pad(xcn, True)
             dyp, _ = self._pallas_pad(dycn, True)
+            grouped_packed = self.w_layout == "fprop_packed" \
+                and self.mode_f != "dense_tile"
+            if self.mode_u == "dense_tile":
+                udt = self.updat_dt
+                M = udt.R * self.bsize
+                panel = 2 * udt.CH * M * udt.G * self.bsize * 4
+                TN = self.tile_n or pick_tile(xp.shape[1])
+
+                def _est(tn):
+                    return (2 * (udt.groups * M + self.K) * tn
+                            * xp.dtype.itemsize + panel
+                            + udt.G * self.bsize * tn * xp.dtype.itemsize)
+
+                while _est(TN) > 13 * 1024 * 1024 and TN > 128 and TN % 2 == 0:
+                    TN //= 2
+                if _est(TN) <= 13 * 1024 * 1024:
+                    dw = bsmm_kernels.updat_pallas_dense_tile(
+                        xp, dyp, udt, self.bsize, tile_n=TN)
+                    return self._repack_dw(dw)
             TN = self.tile_n or pick_tile(xp.shape[1])
             usch = self.updat_grouped
             est = (2 * (self.C + self.K) * TN * xp.dtype.itemsize
@@ -550,11 +716,14 @@ class BlocksparseMatMul:
                 est = (2 * (self.C + self.K) * TN * xp.dtype.itemsize
                        + 2 * usch.CH * usch.G * self.bsize * self.bsize * 4)
             if est <= 13 * 1024 * 1024:
-                usched2 = self.updat_grouped_packed \
-                    if self.w_layout == "fprop_packed" else self.updat_grouped
-                return bsmm_kernels.updat_pallas_grouped(
-                    xp, dyp, usched2, self.bsize, self.blocks,
+                if grouped_packed:
+                    return bsmm_kernels.updat_pallas_grouped(
+                        xp, dyp, self.updat_grouped_packed, self.bsize,
+                        self.blocks, tile_n=TN)
+                dw = bsmm_kernels.updat_pallas_grouped(
+                    xp, dyp, self.updat_grouped, self.bsize, self.blocks,
                     tile_n=TN)
+                return self._repack_dw(dw)
             dw = bsmm_kernels.updat_pallas(xp, dyp, self.updat_lut,
                                            self.bsize, tile_n=self.tile_n)
             return self._repack_dw(dw)
@@ -562,9 +731,12 @@ class BlocksparseMatMul:
             x, dy, self.updat_lut, self.bsize, self.axis))
 
     def _repack_dw(self, dw_canonical):
-        """Scatter a canonical (blocks,b,b) dw into packed layout."""
+        """Canonical (blocks,b,b) dw -> the packed weight layout."""
         if self.w_layout != "fprop_packed":
             return dw_canonical
+        if self.mode_f == "dense_tile":
+            return dense_tile_panels(dw_canonical, self.fprop_dt,
+                                     trans_w=False)
         out = jnp.zeros(self.w_shape, dw_canonical.dtype)
         return out.at[jnp.asarray(self._packed_pos)].set(dw_canonical)
 
@@ -629,17 +801,37 @@ class BlocksparseMatMul:
             return cache[key]
         op = self
 
-        def expand_gate(gate):
+        def gate_mult(gate):
+            """Per-element multiplier shaped like the weight store."""
+            g32 = gate.astype(jnp.float32)
             if op.w_layout != "fprop_packed":
-                return gate
-            out = jnp.zeros((op.w_shape[0],), gate.dtype)
-            return out.at[jnp.asarray(op._packed_pos)].set(gate)
+                return g32[:, None, None]
+            if op.mode_f == "dense_tile":
+                fdt = op.fprop_dt
+                b = op.bsize
+                ge = jnp.concatenate([g32, jnp.zeros((1,), jnp.float32)])
+                cells = ge[jnp.asarray(fdt.wpos)] \
+                    .reshape(fdt.groups, fdt.R, fdt.CH, fdt.G)
+                gp = cells.transpose(0, 2, 1, 3)      # (g, CH, R, G)
+                gp = jnp.broadcast_to(
+                    gp[:, :, :, None, :, None],
+                    (fdt.groups, fdt.CH, fdt.R, b, fdt.G, b))
+                return gp.reshape(op.w_shape)
+            out = jnp.zeros((op.w_shape[0],), jnp.float32)
+            return out.at[jnp.asarray(op._packed_pos)].set(g32)[:, None, None]
+
+        def gate_from_store(dg_store):
+            """Per-element store array -> per-block (blocks,) sums."""
+            if op.w_layout != "fprop_packed":
+                return jnp.sum(dg_store, axis=(1, 2))
+            if op.mode_f == "dense_tile":
+                pv = dense_tile_blocks_view(dg_store, op.fprop_dt, op.bsize)
+                return jnp.sum(pv, axis=(1, 2))[jnp.asarray(op._dt_flat_pos)]
+            return jnp.sum(dg_store, axis=(1, 2))[jnp.asarray(op._packed_pos)]
 
         @jax.custom_vjp
         def bsmm_gated(x, w, gate):
-            gf = expand_gate(gate)
-            wg = (w.astype(jnp.float32)
-                  * gf.astype(jnp.float32)[:, None, None]).astype(w.dtype)
+            wg = (w.astype(jnp.float32) * gate_mult(gate)).astype(w.dtype)
             return op._fprop_impl(x, wg)
 
         def fwd(x, w, gate):
@@ -647,22 +839,16 @@ class BlocksparseMatMul:
 
         def bwd(res, dy):
             x, w, gate = res
-            gf = expand_gate(gate)
-            wg = (w.astype(jnp.float32)
-                  * gf.astype(jnp.float32)[:, None, None]).astype(w.dtype)
+            gm = gate_mult(gate)
+            wg = (w.astype(jnp.float32) * gm).astype(w.dtype)
             dx = op._bprop_impl(dy, wg).astype(x.dtype)
             dw_raw = op._updat_impl(x, dy)
             if dw_gated:
-                dw = dw_raw * gf.astype(jnp.float32)[:, None, None]
+                dw = dw_raw * gm
             else:
                 dw = dw_raw
             if gate_grad:
-                dg_full = jnp.sum(dw_raw * w.astype(jnp.float32),
-                                  axis=(1, 2))
-                if op.w_layout == "fprop_packed":
-                    dg = dg_full[jnp.asarray(op._packed_pos)]
-                else:
-                    dg = dg_full
+                dg = gate_from_store(dw_raw * w.astype(jnp.float32))
             else:
                 dg = jnp.zeros_like(gate)
             return dx, dw.astype(w.dtype), dg.astype(gate.dtype)

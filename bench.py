@@ -5,19 +5,27 @@ Prints ONE JSON line:
 
 Config follows the reference's canonical bsmm benchmark
 (/root/reference/README.md:44-67, test/blocksparse_matmul_bench.py):
-hidden 4096^2, block_size 32, random layout, bf16.
+block_size 32, random layout, density 25%.  The hidden size is scaled to
+8192 and the batch to 2048 so the workload resolves above the benchmark
+chip's ~1 ms scheduling floor (at 4096^2/N512 every matmul-shaped kernel
+measures 1.0-1.5 ms regardless of content — see BENCH_NOTES.md); the
+round-1 number at the smaller shape was timing the floor, not the
+kernel.
 
 Roofline method: the north-star target (BASELINE.json) is >=90% of the
-density-scaled dense roofline.  On the benchmark chip the dense matmul
-itself is bandwidth-bound, so the achievable sparse ideal is
+density-scaled dense roofline.  The achievable sparse ideal on this
+chip is
   t_ideal = max(density * t_dense_compute, sparse_bytes / BW_eff)
 with BW_eff measured from the dense run on the same shapes.  We report
 fraction = t_ideal / t_sparse (1.0 = speed of light on this chip);
-vs_baseline = fraction / 0.90.  The raw flops-roofline fraction and the
-sparse-vs-dense attention step comparison are included in "detail".
+vs_baseline = fraction / 0.90.  detail includes the raw flops-roofline
+fraction and the sparse-vs-dense attention step comparison.
+
+A broader sweep (densities x block sizes x layout structures) lives in
+benchmarks/bsmm_sweep.py and writes benchmarks/results_bsmm.json.
 
 Timing is loop-inside-jit (chained lax.scan) to exclude dispatch
-overhead of the remote-tunnel setup.
+overhead of the remote-tunnel setup; best of 3 runs.
 """
 import os
 import sys
@@ -31,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_loop(one_step, x0, iters=30):
+def bench_loop(one_step, x0, iters=20, reps=3):
     @jax.jit
     def run(x):
         def body(x, _):
@@ -41,16 +49,22 @@ def bench_loop(one_step, x0, iters=30):
 
     y = run(x0)
     jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    y = run(x0)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = run(x0)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bsmm_bench():
     from blocksparse_tpu import BlocksparseMatMul
 
-    hidden, bsize, N, density = 4096, 32, 512, 0.25
+    on_tpu = jax.default_backend() == "tpu"
+    # full-size workload on hardware; tiny equivalent off-TPU (CI smoke)
+    hidden, N = (8192, 2048) if on_tpu else (512, 128)
+    bsize, density = 32, 0.25
     dtype = jnp.bfloat16
     isz = 2
     CB = KB = hidden // bsize
@@ -59,8 +73,7 @@ def bsmm_bench():
     layout = (rng.rand(CB, KB) < density).astype(np.int32)
     layout[np.arange(CB), np.arange(CB)] = 1
     bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0,
-                             impl="pallas"
-                             if jax.default_backend() == "tpu" else "xla",
+                             impl="pallas" if on_tpu else "xla",
                              w_layout="fprop_packed")
 
     W_can = rng.uniform(-0.1, 0.1,
@@ -90,8 +103,11 @@ def bsmm_bench():
     return {
         "fraction": fraction,
         "detail": {
+            "hidden": hidden,
+            "batch": N,
             "sparse_ms": round(dt_sparse * 1e3, 4),
             "dense_ms": round(dt_dense * 1e3, 4),
+            "sparse_vs_dense": round(dt_dense / dt_sparse, 3),
             "sparse_eff_tflops": round(float(sparse_tflops), 2),
             "dense_tflops": round(float(dense_tflops), 2),
             "flops_roofline_fraction": round(float(flops_fraction), 4),
@@ -163,7 +179,7 @@ def main():
     detail.update(a)
     detail["backend"] = jax.default_backend()
     result = {
-        "metric": "bsmm_4096x4096_b32_d25_bf16_achievable_roofline_fraction",
+        "metric": "bsmm_8192x8192_b32_d25_bf16_achievable_roofline_fraction",
         "value": round(float(b["fraction"]), 4),
         "unit": "fraction_of_achievable_roofline",
         "vs_baseline": round(float(b["fraction"] / 0.90), 4),

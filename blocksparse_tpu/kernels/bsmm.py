@@ -749,10 +749,18 @@ def xprop_pallas_grouped_panels(x, w_panels, sched: GroupedSchedule,
 
 @dataclass
 class DenseTileSchedule:
-    in_idx: np.ndarray    # (groups, CH, G) input block-row per slot (0 pads)
-    wpos: np.ndarray      # (groups, R, CH*G) block id, or `blocks` (zero)
-    cnt: np.ndarray       # (groups,) real chunk count (<= CH); the kernel
-                          # loops to cnt so CH-max padding costs no passes
+    """Flat chunk schedule: chunk s belongs to output group grp[s] (R
+    consecutive output block-rows); consecutive chunks of one group
+    accumulate into the same (128, TN) out tile (the sequential grid is
+    the accumulator).  slot[s, i] names the input block gathered into
+    contraction lane band i — per-slot BlockSpec DMA, so the batch tile
+    TN is not capped by whole-x VMEM residency (big TN amortizes MXU
+    weight-tile loads; measured 1.8x over the resident-x variant on
+    v5e at 8192^2/d0.25)."""
+    grp: np.ndarray       # (S,) output group per chunk (sorted)
+    last: np.ndarray      # (S,) 1 on the group's final chunk
+    slot: np.ndarray      # (S, G) input block-row per contraction slot
+    wpos: np.ndarray      # (S, R, G) block id, or `blocks` (zero cell)
     n_out_blocks: int
     R: int
     G: int
@@ -760,15 +768,11 @@ class DenseTileSchedule:
 
     @property
     def groups(self):
-        return self.wpos.shape[0]
-
-    @property
-    def CH(self):
-        return self.in_idx.shape[1]
+        return -(-self.n_out_blocks // self.R)
 
     @property
     def num_chunks(self):
-        return int(self.cnt.sum())
+        return self.grp.shape[0]
 
 
 def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
@@ -778,44 +782,46 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
     R = R or max(1, CONTRACT // bsize)
     G = G or max(1, CONTRACT // bsize)
     groups = -(-n_out_blocks // R)
-    unions = []
+    grp, last, slot, wpos = [], [], [], []
     for g in range(groups):
         cols = set()
+        ents_g = []
         for r in range(R):
             row = g * R + r
             if row >= n_out_blocks:
                 break
-            for (cb, _w) in entries_per_row[row]:
+            ents = entries_per_row[row]
+            ents_g.append((r, ents))
+            for (cb, _w) in ents:
                 cols.add(cb)
-        unions.append(sorted(cols))
-    CH = max(1, max(-(-len(u) // G) for u in unions))
-    in_idx = np.zeros((groups, CH, G), np.int32)
-    wpos = np.full((groups, R, CH * G), blocks, np.int32)
-    cnt = np.array([-(-len(u) // G) for u in unions], np.int32)
-    for g, cols in enumerate(unions):
-        slot_of = {}
-        for p, cb in enumerate(cols):
-            in_idx[g, p // G, p % G] = cb
-            slot_of[cb] = p
-        for r in range(R):
-            row = g * R + r
-            if row >= n_out_blocks:
-                break
-            for (cb, w) in entries_per_row[row]:
-                wpos[g, r, slot_of[cb]] = w
-    return DenseTileSchedule(in_idx=in_idx, wpos=wpos, cnt=cnt,
-                             n_out_blocks=n_out_blocks, R=R, G=G,
-                             blocks=blocks)
+        cols = sorted(cols)
+        nch = max(1, -(-len(cols) // G))   # >=1 so every out tile is written
+        slot_of = {cb: p for p, cb in enumerate(cols)}
+        base = len(grp)
+        for j in range(nch):
+            grp.append(g)
+            last.append(1 if j == nch - 1 else 0)
+            slot.append([cols[j * G + i] if j * G + i < len(cols) else 0
+                         for i in range(G)])
+            wpos.append(np.full((R, G), blocks, np.int64))
+        for r, ents in ents_g:
+            for (cb, w) in ents:
+                p = slot_of[cb]
+                wpos[base + p // G][r, p % G] = w
+    return DenseTileSchedule(
+        grp=np.asarray(grp, np.int32), last=np.asarray(last, np.int32),
+        slot=np.asarray(slot, np.int32),
+        wpos=np.stack(wpos).astype(np.int32),
+        n_out_blocks=n_out_blocks, R=R, G=G, blocks=blocks)
 
 
 def dense_tile_panels(w, sched: DenseTileSchedule, trans_w: bool,
                       wpos=None, trans_cells=None):
-    """Gather weight blocks into per-group MXU panels.
+    """Gather weight blocks into per-chunk MXU panels.
 
-    Returns (groups, CH*R*bsize, G*bsize): chunk j occupies sublane rows
-    [j*128, (j+1)*128); within a chunk, row band r x column band i holds
-    the block for layout cell (r, i).  fprop (trans_w=False) needs the
-    per-cell transpose (y_r += W_cell^T x_i in CN orientation); bprop
+    Returns (S, R*bsize, G*bsize): row band r x column band i of chunk s
+    holds the block for layout cell (r, i).  fprop (trans_w=False) needs
+    the per-cell transpose (y_r += W_cell^T x_i in CN orientation); bprop
     (trans_w=True) uses the blocks as stored.
 
     wpos overrides sched.wpos (e.g. remapped into a packed block store);
@@ -824,72 +830,72 @@ def dense_tile_panels(w, sched: DenseTileSchedule, trans_w: bool,
     transposed).
     """
     b = w.shape[1]
-    groups, R, _ = sched.wpos.shape
-    CH, G = sched.CH, sched.G
+    S, R, G = sched.wpos.shape
     if wpos is None:
         wpos = sched.wpos
     if trans_cells is None:
         trans_cells = not trans_w
     w_ext = jnp.concatenate(
         [w, jnp.zeros((1, b, b), w.dtype)], axis=0)
-    cells = w_ext[jnp.asarray(wpos)]                # (groups, R, CH*G, b, b)
+    cells = w_ext[jnp.asarray(wpos)]                # (S, R, G, b, b)
     if trans_cells:
         cells = cells.swapaxes(-1, -2)
-    cells = cells.reshape(groups, R, CH, G, b, b)
-    # -> (g, CH, R, brow, G, bcol)
-    panels = cells.transpose(0, 2, 1, 4, 3, 5)
-    return panels.reshape(groups, CH * R * b, G * b)
+    # -> (s, R, brow, G, bcol)
+    panels = cells.transpose(0, 1, 3, 2, 4)
+    return panels.reshape(S, R * b, G * b)
 
 
 def dense_tile_flat_pos(sched: DenseTileSchedule) -> np.ndarray:
-    """pos[w_id] = flat cell index (g*R + r)*(CH*G) + slot in the fprop
-    panel store (matches the block order of ``dense_tile_blocks_view``)."""
+    """pos[w_id] = flat cell index (s*R + r)*G + i in the fprop panel
+    store (matches the block order of ``dense_tile_blocks_view``)."""
     pos = np.full(sched.blocks, -1, np.int64)
-    g, r, s = np.nonzero(sched.wpos != sched.blocks)
-    w = sched.wpos[g, r, s]
-    pos[w] = (g * sched.R + r) * (sched.CH * sched.G) + s
+    s, r, i = np.nonzero(sched.wpos != sched.blocks)
+    w = sched.wpos[s, r, i]
+    pos[w] = (s * sched.R + r) * sched.G + i
     assert (pos >= 0).all(), "layout block missing from dense-tile schedule"
     return pos.astype(np.int32)
 
 
 def dense_tile_blocks_view(panels, sched: DenseTileSchedule, bsize: int):
-    """Panel store -> (groups*R*CH*G, b, b) cell array in flat-pos order.
+    """Panel store -> (S*R*G, b, b) cell array in flat-pos order.
     Cells keep the store's per-cell transpose (W^T for fprop panels)."""
-    groups, CH, G, R = sched.groups, sched.CH, sched.G, sched.R
-    return panels.reshape(groups, CH, R, bsize, G, bsize) \
-                 .transpose(0, 2, 1, 4, 3, 5) \
-                 .reshape(groups * R * CH * G, bsize, bsize)
+    S, R, G = sched.wpos.shape
+    return panels.reshape(S, R, bsize, G, bsize) \
+                 .transpose(0, 1, 3, 2, 4) \
+                 .reshape(S * R * G, bsize, bsize)
 
 
-def _xprop_dense_tile_kernel(CH, G, bsize, precision, cnt_ref, idx_ref,
-                             x_ref, w_ref, out_ref, acc_ref):
-    g = pl.program_id(1)
-    Gb = G * bsize
-    M = acc_ref.shape[0]                           # R * bsize (= 128)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    n_ch = cnt_ref[g]
+def _xprop_dense_tile_kernel(G, bsize, precision, grp_ref, last_ref,
+                             slot_ref, *refs):
+    xs = refs[:G]
+    w_ref, out_ref, acc_ref = refs[G], refs[G + 1], refs[G + 2]
+    s = pl.program_id(1)
+    prev = grp_ref[jnp.maximum(s - 1, 0)]
 
-    def chunk(j):
-        xcat = jnp.concatenate(
-            [x_ref[pl.ds(idx_ref[g, j * G + i] * bsize, bsize), :]
-             for i in range(G)], axis=0)                       # (Gb, TN)
-        wch = w_ref[0, pl.ds(j * M, M), :]                     # (M, Gb)
-        acc_ref[...] += jax.lax.dot_general(
-            wch, xcat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+    @pl.when(jnp.logical_or(s == 0, grp_ref[s] != prev))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # only the group's real chunks run: CH-max padding costs DMA, no passes
-    if CH <= UNROLL_MAX_CH:
-        for j in range(CH):
-            @pl.when(j < n_ch)
-            def _(j=j):
-                chunk(j)
-    else:
-        def body(j, carry):
-            chunk(j)
-            return carry
-        jax.lax.fori_loop(0, n_ch, body, 0)
-    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+    xcat = jnp.concatenate([x[...] for x in xs], axis=0)       # (Gb, TN)
+    acc_ref[...] += jax.lax.dot_general(
+        w_ref[0], xcat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(last_ref[s] == 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def dense_tile_pick_tile(N, max_tn=2048):
+    """Largest divisor of N that is a multiple of 128 (or N itself when
+    smaller), capped at max_tn: long MXU streams amortize the per-chunk
+    weight-tile load (128 cycles per (128,128) tile)."""
+    best = None
+    for t in (2048, 1024, 512, 256, 128):
+        if t <= max_tn and N % t == 0:
+            best = t
+            break
+    return best or pick_tile(N)
 
 
 def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
@@ -898,46 +904,50 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     """x (C, N) feature-major; w_panels from ``dense_tile_panels`` (or
     packed storage).  Returns (n_out_blocks*bsize, N)."""
     C, N = x.shape
-    TN = tile_n or pick_tile(N)
+    TN = tile_n or dense_tile_pick_tile(N)
     assert N % TN == 0
     prec = dot_precision(x.dtype, precision)
-    R, G, CH = sched.R, sched.G, sched.CH
+    R, G = sched.R, sched.G
+    S = sched.num_chunks
     groups = sched.groups
     M = R * bsize
     out_dtype = out_dtype or x.dtype
 
+    def x_index(i):
+        return lambda n, s, gr, la, sl, i=i: (sl[s * G + i], n)
+
     in_specs = [
-        pl.BlockSpec((C, TN), lambda n, g, cc, ii: (0, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,) + w_panels.shape[1:],
-                     lambda n, g, cc, ii: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsize, TN), x_index(i), memory_space=pltpu.VMEM)
+        for i in range(G)
     ]
-    out_spec = pl.BlockSpec((M, TN), lambda n, g, cc, ii: (g, n),
+    in_specs.append(pl.BlockSpec(
+        (1, M, G * bsize), lambda n, s, gr, la, sl: (s, 0, 0),
+        memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((M, TN), lambda n, s, gr, la, sl: (gr[s], n),
                             memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
-        flops=2 * sched.num_chunks * M * G * bsize * N,
-        bytes_accessed=x.size * x.dtype.itemsize
-        + (N // TN) * w_panels.size * w_panels.dtype.itemsize
-        + groups * M * N * 4,
+        flops=2 * S * M * G * bsize * N,
+        bytes_accessed=(S * G * bsize * N + w_panels.size * (N // TN))
+        * x.dtype.itemsize + groups * M * N * 4,
         transcendentals=0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(N // TN, groups),
+        num_scalar_prefetch=3,
+        grid=(N // TN, S),
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((M, TN), jnp.float32)],
     )
     fn = pl.pallas_call(
-        functools.partial(_xprop_dense_tile_kernel, CH, G, bsize, prec),
+        functools.partial(_xprop_dense_tile_kernel, G, bsize, prec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((groups * M, N), out_dtype),
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    out = fn(jnp.asarray(sched.cnt),
-             jnp.asarray(sched.in_idx.reshape(groups, -1)), x, w_panels)
+    out = fn(jnp.asarray(sched.grp), jnp.asarray(sched.last),
+             jnp.asarray(sched.slot.reshape(-1)),
+             *([x] * G), w_panels)
     if groups * R != sched.n_out_blocks:
         out = out[:sched.n_out_blocks * bsize]
     return out
@@ -945,12 +955,13 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
 
 def dense_tile_vmem_estimate(C, TN, itemsize, sched: DenseTileSchedule,
                              bsize, out_itemsize=4):
-    panel = sched.CH * sched.R * bsize * sched.G * bsize * itemsize
     M = sched.R * bsize
-    return (2 * C * TN * itemsize
-            + 2 * panel
-            + M * TN * (out_itemsize + 4)
-            + sched.G * bsize * TN * itemsize)
+    Gb = sched.G * bsize
+    return (2 * sched.G * bsize * TN * itemsize   # double-buffered slots
+            + 2 * M * Gb * itemsize               # double-buffered panel
+            + M * TN * 4                          # f32 accumulator
+            + 2 * M * TN * out_itemsize           # out tile
+            + Gb * TN * itemsize)                 # xcat temporary
 
 
 # ---- dense-tile updat: one pass emits an (R x G) rectangle of dw blocks --
@@ -1027,7 +1038,7 @@ def _updat_dense_tile_kernel(CH, G, R, bsize, precision, cnt_ref, kdx_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    xstack = x_ref[pl.ds(g * M, M), :]                         # (M, TN)
+    xstack = x_ref[...]                                        # (M, TN)
 
     def chunk(j):
         dycat = jnp.concatenate(
@@ -1073,7 +1084,7 @@ def updat_pallas_dense_tile(x, dy, sched: UpdatDenseTileSchedule, bsize: int,
         x = jnp.pad(x, ((0, pad_rows), (0, 0)))
 
     in_specs = [
-        pl.BlockSpec((groups * M, TN), lambda g, n, cc, kd: (0, n),
+        pl.BlockSpec((M, TN), lambda g, n, cc, kd: (g, n),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((K, TN), lambda g, n, cc, kd: (0, n),
                      memory_space=pltpu.VMEM),

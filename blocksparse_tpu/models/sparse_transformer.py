@@ -271,6 +271,96 @@ class SparseTransformerLM:
         x = x + resid_drop(mlp(x), k2).astype(x.dtype)
         return x
 
+    # ---------------- KV-cached decode ----------------
+
+    def init_kv_cache(self, batch):
+        """Per-layer K/V caches over the full layout context."""
+        c = self.config
+        nd = jnp.dtype(c.dtype)
+        return [{"k": jnp.zeros((batch, c.ctx, c.n_embd), nd),
+                 "v": jnp.zeros((batch, c.ctx, c.n_embd), nd)}
+                for _ in range(c.n_layer)]
+
+    def prefill(self, params, tokens):
+        """Full-context forward that also captures per-layer K/V.
+
+        tokens: (batch, ctx) int32 (positions past the prompt may be
+        padding — causal masking keeps them out of earlier logits).
+        Returns (logits, caches)."""
+        c = self.config
+        nd = jnp.dtype(c.dtype)
+        x = embedding_lookup(params["wte"], tokens) \
+            + params["wpe"][None, :tokens.shape[1]]
+        x = x.astype(jnp.float32)
+        caches = []
+        for l in range(c.n_layer):
+            layer = params[f"h{l}"]
+            h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], axis=-1)
+            h = float_cast(h, nd)
+            qkv = h @ float_cast(layer["w_qkv"], nd) \
+                + layer["b_qkv"].astype(nd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            caches.append({"k": k, "v": v})
+            a = self.bst.attention(q, k, v, scale=1.0 / np.sqrt(self.hs))
+            y = a @ float_cast(layer["w_out"], nd) + layer["b_out"].astype(nd)
+            x = x + y.astype(x.dtype)
+            x = x + self._mlp(layer, x, nd).astype(x.dtype)
+        h = layer_norm(x, params["lnf_g"], params["lnf_b"], axis=-1)
+        logits = h.astype(nd) @ float_cast(params["wte"], nd).T
+        return logits.astype(jnp.float32), caches
+
+    def _mlp(self, layer, x, nd):
+        h = layer_norm(x, layer["ln2_g"], layer["ln2_b"], axis=-1)
+        h = float_cast(h, nd)
+        if self.bsmm1 is not None:
+            h = self.bsmm1(h, float_cast(layer["w_fc"][0], nd))
+        else:
+            h = h @ float_cast(layer["w_fc"], nd)
+        h = fast_gelu(h + layer["b_fc"].astype(nd))
+        if self.bsmm2 is not None:
+            h = self.bsmm2(h, float_cast(layer["w_proj"][0], nd))
+        else:
+            h = h @ float_cast(layer["w_proj"], nd)
+        return h + layer["b_proj"].astype(nd)
+
+    def decode_forward(self, params, tok, caches, pos):
+        """One-token forward at position ``pos`` against the K/V caches.
+
+        tok: (batch,) int32; pos: traced scalar (no recompile per step).
+        Returns (logits (batch, n_vocab), updated caches).  Attention
+        cost is O(visible blocks) via BlocksparseTransformer.decode_step
+        (the reference's incremental decode, transformer.py:366-370)."""
+        c = self.config
+        nd = jnp.dtype(c.dtype)
+        pos = jnp.asarray(pos, jnp.int32)
+        x = embedding_lookup(params["wte"], tok[:, None]) \
+            + jax.lax.dynamic_index_in_dim(params["wpe"], pos, axis=0,
+                                           keepdims=True)[None]
+        x = x.astype(jnp.float32)                    # (batch, 1, embd)
+        new_caches = []
+        for l in range(c.n_layer):
+            layer = params[f"h{l}"]
+            cache = caches[l]
+            h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], axis=-1)
+            h = float_cast(h, nd)
+            qkv = h @ float_cast(layer["w_qkv"], nd) \
+                + layer["b_qkv"].astype(nd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)     # (batch, 1, embd)
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, pos, 0))
+            new_caches.append({"k": ck, "v": cv})
+            a = self.bst.decode_step(q, ck, cv, pos,
+                                     scale=1.0 / np.sqrt(self.hs))
+            y = a.astype(nd) @ float_cast(layer["w_out"], nd) \
+                + layer["b_out"].astype(nd)
+            x = x + y.astype(x.dtype)
+            x = x + self._mlp(layer, x, nd).astype(x.dtype)
+        h = layer_norm(x, params["lnf_g"], params["lnf_b"], axis=-1)
+        logits = h.astype(nd) @ float_cast(params["wte"], nd).T
+        return logits[:, 0].astype(jnp.float32), new_caches
+
     def forward(self, params, tokens, tp_axis=None, dropout_key=None):
         """tokens (batch, ctx) int32 -> logits (batch, ctx, n_vocab) f32.
         dropout_key enables residual dropout (resid_pdrop)."""
@@ -372,11 +462,9 @@ class SparseTransformerLM:
 
 def generate(model: SparseTransformerLM, params, prompt, steps,
              temperature=1.0, key=None):
-    """Simple autoregressive sampling (full-context forward per token;
-    a KV-cached decode path is future work — the layout machinery for it,
-    dynamic ``autoregress_at_key`` re-masking, lives in
-    BlocksparseTransformer.masked_softmax, parity with the reference's
-    incremental decode, transformer.py:366-370).
+    """Reference-style autoregressive sampling via a full-context forward
+    per token (O(ctx^2) per sequence — use ``generate_cached`` for the
+    KV-cached O(visible blocks)/token path).
 
     prompt: (batch, n) int32 with n < ctx.  Returns (batch, n+steps).
     """
@@ -398,3 +486,42 @@ def generate(model: SparseTransformerLM, params, prompt, steps,
         key, sub = jax.random.split(key)
         tokens = step(tokens, n + i, sub)
     return tokens[:, :n + steps]
+
+
+def generate_cached(model: SparseTransformerLM, params, prompt, steps,
+                    temperature=1.0, key=None):
+    """KV-cached autoregressive sampling: one prefill over the prompt,
+    then one single-token decode per generated token (attention cost
+    O(visible blocks) — parity with the reference's incremental decode,
+    transformer.py:366-370).  Single-shard only (tp folded into heads).
+
+    prompt: (batch, n) int32 with n + steps <= ctx.
+    Returns (batch, n + steps).
+    """
+    c = model.config
+    assert c.tp == 1, "generate_cached runs unsharded"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    batch, n = prompt.shape
+    assert n + steps <= c.ctx
+
+    tokens_full = jnp.zeros((batch, c.ctx), jnp.int32)
+    tokens_full = tokens_full.at[:, :n].set(prompt)
+    logits_all, caches = jax.jit(model.prefill)(params, tokens_full)
+    last_logits = logits_all[:, n - 1]
+
+    @jax.jit
+    def dec(params, caches, pos, key, last_logits):
+        nxt = jax.random.categorical(key, last_logits / temperature,
+                                     axis=-1)
+        logits, caches = model.decode_forward(params, nxt, caches, pos)
+        return nxt, caches, logits
+
+    out = [prompt]
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        tok, caches, last_logits = dec(params, caches,
+                                       jnp.asarray(n + i, jnp.int32),
+                                       sub, last_logits)
+        out.append(tok[:, None])
+    return jnp.concatenate(out, axis=1)

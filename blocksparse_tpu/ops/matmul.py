@@ -245,8 +245,8 @@ class BlocksparseMatMul:
             # pre-transposed): fprop runs with zero weight gathers.
             fdt = self.fprop_dt
             self._dt_flat_pos = dense_tile_flat_pos(fdt)
-            self.packed_blocks = fdt.groups * fdt.R * fdt.CH * fdt.G
-            self.w_shape = (fdt.groups, fdt.CH * fdt.R * block_size,
+            self.packed_blocks = fdt.num_chunks * fdt.R * fdt.G
+            self.w_shape = (fdt.num_chunks, fdt.R * block_size,
                             fdt.G * block_size)
             if self.mode_b == "dense_tile":
                 wp = self.bprop_dt.wpos
@@ -498,8 +498,11 @@ class BlocksparseMatMul:
             TN //= 2
 
     def _dt_tile(self, C_in, sched, n, itemsize, budget=13 * 1024 * 1024):
-        """Pick an N-tile for the dense-tile kernel that fits VMEM, or None."""
-        TN = self.tile_n or pick_tile(n)
+        """Pick an N-tile for the dense-tile kernel that fits VMEM, or None.
+
+        Prefers large tiles (up to 2048): the per-chunk (128,128) MXU
+        weight-tile load amortizes over the TN-long stream."""
+        TN = self.tile_n or bsmm_kernels.dense_tile_pick_tile(n)
         while True:
             est = dense_tile_vmem_estimate(C_in, TN, itemsize, sched,
                                            self.bsize)
@@ -520,10 +523,8 @@ class BlocksparseMatMul:
             if isinstance(w, np.ndarray):
                 w_ext = np.concatenate(
                     [w, np.zeros((1, b, b), w.dtype)], axis=0)
-                cells = w_ext[fdt.wpos].swapaxes(-1, -2)
-                cells = cells.reshape(fdt.groups, fdt.R, fdt.CH, fdt.G, b, b)
-                return cells.transpose(0, 2, 1, 4, 3, 5) \
-                            .reshape(self.w_shape)
+                cells = w_ext[fdt.wpos].swapaxes(-1, -2)   # (S, R, G, b, b)
+                return cells.transpose(0, 1, 3, 2, 4).reshape(self.w_shape)
             return dense_tile_panels(w, fdt, trans_w=False)
         if isinstance(w, np.ndarray):
             out = np.zeros(self.w_shape, w.dtype)
@@ -538,9 +539,8 @@ class BlocksparseMatMul:
             fdt = self.fprop_dt
             b = self.bsize
             if isinstance(w_packed, np.ndarray):
-                pv = w_packed.reshape(fdt.groups, fdt.CH, fdt.R, b,
-                                      fdt.G, b) \
-                             .transpose(0, 2, 1, 4, 3, 5) \
+                pv = w_packed.reshape(fdt.num_chunks, fdt.R, b, fdt.G, b) \
+                             .transpose(0, 1, 3, 2, 4) \
                              .reshape(-1, b, b)
                 return pv[self._dt_flat_pos].swapaxes(-1, -2)
             pv = dense_tile_blocks_view(w_packed, fdt, b)
@@ -694,10 +694,11 @@ class BlocksparseMatMul:
                 udt = self.updat_dt
                 M = udt.R * self.bsize
                 panel = 2 * udt.CH * M * udt.G * self.bsize * 4
-                TN = self.tile_n or pick_tile(xp.shape[1])
+                TN = self.tile_n \
+                    or bsmm_kernels.dense_tile_pick_tile(xp.shape[1], 1024)
 
                 def _est(tn):
-                    return (2 * (udt.groups * M + self.K) * tn
+                    return (2 * (M + self.K) * tn
                             * xp.dtype.itemsize + panel
                             + udt.G * self.bsize * tn * xp.dtype.itemsize)
 
@@ -809,13 +810,12 @@ class BlocksparseMatMul:
             if op.mode_f == "dense_tile":
                 fdt = op.fprop_dt
                 b = op.bsize
+                S = fdt.num_chunks
                 ge = jnp.concatenate([g32, jnp.zeros((1,), jnp.float32)])
-                cells = ge[jnp.asarray(fdt.wpos)] \
-                    .reshape(fdt.groups, fdt.R, fdt.CH, fdt.G)
-                gp = cells.transpose(0, 2, 1, 3)      # (g, CH, R, G)
+                cells = ge[jnp.asarray(fdt.wpos)]     # (S, R, G)
                 gp = jnp.broadcast_to(
-                    gp[:, :, :, None, :, None],
-                    (fdt.groups, fdt.CH, fdt.R, b, fdt.G, b))
+                    cells[:, :, None, :, None],
+                    (S, fdt.R, b, fdt.G, b))
                 return gp.reshape(op.w_shape)
             out = jnp.zeros((op.w_shape[0],), jnp.float32)
             return out.at[jnp.asarray(op._packed_pos)].set(g32)[:, None, None]

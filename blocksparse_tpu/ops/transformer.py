@@ -757,10 +757,16 @@ def softmax_cross_entropy(logits=None, labels=None):
 # ------------------------------------------------------------------
 
 def _can_fuse(bst, hs, ctx_k, itemsize, budget=10 * 1024 * 1024):
-    resident = 2 * ctx_k * hs * itemsize      # K + V per head
-    sched = bst.attn_schedule
-    chunk = sched.bs * sched.E * sched.bs     # mask chunk
-    return hs <= 128 and resident + 4 * chunk <= budget
+    """The fused kernel handles any context: hs is the only hard limit
+    (lane width).  Residency vs streaming is chosen separately."""
+    return hs <= 128
+
+
+def _resident_fits(hs, ctx_k, itemsize, budget=10 * 1024 * 1024):
+    """Whole-head K/V (and q/do on the dkv pass) VMEM residency check;
+    beyond it the kernels stream gathered slots per step instead of
+    falling back to the score-materializing path."""
+    return 2 * ctx_k * hs * itemsize <= budget
 
 
 def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
@@ -777,6 +783,10 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         a5 = af.reshape(batch, bst.heads, ctx_blks, bst.blk_size, hs)
         return bst._merge_heads(a5)
 
+    hs_ = q.shape[-1] // bst.heads
+    stream = not _resident_fits(hs_, bst.ctx_blks_k * bst.blk_size,
+                                q.dtype.itemsize)
+
     @jax.custom_vjp
     def att(q, k, v):
         batch = q.shape[0]
@@ -784,7 +794,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         kf = to_flat(k, bst.ctx_blks_k)
         vf = to_flat(v, bst.ctx_blks_k)
         yf = bst_attn.fused_attention_fwd(qf, kf, vf, bst.attn_schedule,
-                                          bst.heads, scale)
+                                          bst.heads, scale, stream=stream)
         return from_flat(yf, batch, bst.ctx_blks_q)
 
     def fwd(q, k, v):
@@ -795,7 +805,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         kf = to_flat(k, bst.ctx_blks_k)
         vf = to_flat(v, bst.ctx_blks_k)
         yf, lse = bst_attn.fused_attention_fwd_lse(
-            qf, kf, vf, bst.attn_schedule, bst.heads, scale)
+            qf, kf, vf, bst.attn_schedule, bst.heads, scale, stream=stream)
         y = from_flat(yf, batch, bst.ctx_blks_q)
         return y, (q, k, v, yf, lse)
 
@@ -815,7 +825,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         dof = to_flat(dy, bst.ctx_blks_q)
         dqf, dkf, dvf = bst_attn.fused_attention_bwd(
             qf, kf, vf, yf, lse, dof, bst.attn_schedule,
-            bst.attn_schedule_tn, bst.heads, scale)
+            bst.attn_schedule_tn, bst.heads, scale, stream=stream)
         return (from_flat(dqf, batch, bst.ctx_blks_q).astype(q.dtype),
                 from_flat(dkf, batch, bst.ctx_blks_k).astype(k.dtype),
                 from_flat(dvf, batch, bst.ctx_blks_k).astype(v.dtype))
@@ -840,6 +850,97 @@ def _bst_attention(self, q, k, v, scale=1.0, use_fused=None,
     return self.nn_op(p, v)
 
 
+def _bst_decode_tables(self):
+    """Padded per-query-row key-block tables for incremental decode:
+    (row_kblk, row_bid, row_cnt) with shapes (lut_heads, ctx_blks_q,
+    nn_max), same, and (lut_heads, ctx_blks_q)."""
+    if getattr(self, "_decode_tables_cache", None) is None:
+        E = max(self.nn_max, 1)
+        lh = self.lut_heads
+        kblk = np.zeros((lh, self.ctx_blks_q, E), np.int32)
+        bid = np.zeros((lh, self.ctx_blks_q, E), np.int32)
+        cnt = np.zeros((lh, self.ctx_blks_q), np.int32)
+        for h in range(lh):
+            for qr in range(self.ctx_blks_q):
+                ents = self.nn_list[h][qr]
+                cnt[h, qr] = len(ents)
+                for i, (b, kb) in enumerate(ents):
+                    kblk[h, qr, i] = kb
+                    bid[h, qr, i] = b
+        self._decode_tables_cache = (kblk, bid, cnt)
+    return self._decode_tables_cache
+
+
+def _bst_decode_step(self, q, k_cache, v_cache, pos, scale=1.0):
+    """KV-cached single-position sparse attention.
+
+    q: (batch, 1, state); k_cache / v_cache: (batch, ctx_k, state) with
+    positions > pos allowed to contain garbage; pos: scalar int32.
+    Returns (batch, 1, state).
+
+    Only the layout row of ``pos`` is gathered (nn_max key blocks), so
+    the per-token cost is O(visible blocks) — the reference's dynamic
+    re-masking decode (transformer.py:366-370,
+    src/bst_softmax_op_gpu.cu:461 bst_partial_autoregressive_mask)
+    expressed as XLA gathers: no recompile across positions.  Semantics
+    match ``masked_softmax(..., autoregress_at_key=pos+1)`` at query
+    row ``pos``.
+    """
+    bs = self.blk_size
+    lh = self.lut_heads
+    batch, one, state = q.shape
+    assert one == 1
+    hs = state // self.heads
+    kblk, bid, cnt = self.decode_tables
+    E = kblk.shape[2]
+    pos = jnp.asarray(pos, jnp.int32)
+    r = pos // bs
+    qoff = pos % bs
+
+    idx = jax.lax.dynamic_index_in_dim(
+        jnp.asarray(kblk), r, axis=1, keepdims=False)        # (lh, E)
+    bdi = jax.lax.dynamic_index_in_dim(
+        jnp.asarray(bid), r, axis=1, keepdims=False)         # (lh, E)
+    cn = jax.lax.dynamic_index_in_dim(
+        jnp.asarray(cnt), r, axis=1, keepdims=False)         # (lh,)
+
+    ctx_blks = k_cache.shape[1] // bs
+    k5 = k_cache.reshape(batch, ctx_blks, bs, self.heads, hs) \
+        .transpose(0, 3, 1, 2, 4)                            # (b,h,cb,bs,hs)
+    v5 = v_cache.reshape(batch, ctx_blks, bs, self.heads, hs) \
+        .transpose(0, 3, 1, 2, 4)
+    if lh == 1:
+        kg = jnp.take(k5, idx[0], axis=2)                    # (b,h,E,bs,hs)
+        vg = jnp.take(v5, idx[0], axis=2)
+    else:
+        ix = idx[None, :, :, None, None]
+        kg = jnp.take_along_axis(k5, ix, axis=2)
+        vg = jnp.take_along_axis(v5, ix, axis=2)
+
+    q3 = q.reshape(batch, self.heads, hs).astype(jnp.float32)
+    s = jnp.einsum("nhc,nhebc->nheb", q3, kg.astype(jnp.float32)) \
+        * jnp.asarray(scale, jnp.float32)                    # (b,h,E,bs)
+
+    kpos = idx[:, :, None] * bs + jnp.arange(bs)[None, None]  # (lh,E,bs)
+    visible = kpos <= pos
+    visible &= (jnp.arange(E)[None, :, None] < cn[:, None, None])
+    if self._mask_blocks is not None:
+        mb = jnp.asarray(self._mask_blocks)                  # (lh,blk,bs,bs)
+        mg = jnp.take_along_axis(
+            mb, bdi[:, :, None, None], axis=1)               # (lh,E,bs,bs)
+        mrow = jax.lax.dynamic_index_in_dim(
+            mg.swapaxes(0, 2), qoff, axis=0, keepdims=False) \
+            .swapaxes(0, 1)                                  # (lh,E,bs)
+        visible &= mrow
+    vis = visible if lh > 1 else visible[0][None]            # (h|1,E,bs)
+    s = jnp.where(vis[None], s, _NEG_MAX)
+    p = jax.nn.softmax(s.reshape(batch, self.heads, E * bs), axis=-1)
+    out = jnp.einsum("nhk,nhkc->nhc", p,
+                     vg.reshape(batch, self.heads, E * bs, hs)
+                     .astype(jnp.float32))
+    return out.reshape(batch, 1, state).astype(q.dtype)
+
+
 def _bst_attn_schedule(self):
     from blocksparse_tpu.kernels import bst_attn
     if getattr(self, "_attn_sched_cache", None) is None:
@@ -858,5 +959,7 @@ def _bst_attn_schedule_tn(self):
 
 
 BlocksparseTransformer.attention = _bst_attention
+BlocksparseTransformer.decode_step = _bst_decode_step
+BlocksparseTransformer.decode_tables = property(_bst_decode_tables)
 BlocksparseTransformer.attn_schedule = property(_bst_attn_schedule)
 BlocksparseTransformer.attn_schedule_tn = property(_bst_attn_schedule_tn)

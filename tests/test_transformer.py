@@ -375,3 +375,100 @@ def test_fused_attention_per_head_layouts():
     g2 = jax.grad(lambda q: loss(q, False))(jnp.asarray(Q))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------- KV-cached incremental decode ----------------
+
+def test_decode_step_parity():
+    """decode_step == masked_softmax(autoregress_at_key=pos+1) at row pos
+    (the reference's bst_partial_autoregressive_mask semantics)."""
+    ctx_blks, bs, heads, hs, batch = 6, 16, 2, 32, 2
+    lay = np.zeros((ctx_blks, ctx_blks), np.int32)
+    for q in range(ctx_blks):
+        lay[q, max(0, q - 2):q + 1] = 1
+        lay[q, 0] = 1
+
+    def cb(blk_shape, head, qry, key, blk):
+        m = np.ones(blk_shape, bool)
+        if qry == key:
+            for r in range(blk_shape[0]):
+                m[r, r + 1:] = 0
+        return m
+
+    bst = BlocksparseTransformer(lay, block_size=bs, heads=heads,
+                                 mask_callback=cb)
+    rng = np.random.RandomState(0)
+    state = heads * hs
+    ctx = ctx_blks * bs
+    Q = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    K = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    V = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    scale = 0.2
+    for pos in (0, 5, 16, 47, ctx - 1):
+        w = bst.nt_op(Q, K)
+        p = bst.masked_softmax(w, scale=scale, autoregress_at_key=pos + 1)
+        y = bst.nn_op(p, V)
+        yd = bst.decode_step(Q[:, pos:pos + 1], K, V, pos, scale=scale)
+        np.testing.assert_allclose(np.asarray(yd[:, 0]),
+                                   np.asarray(y[:, pos]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_generate_cached_matches_full():
+    from blocksparse_tpu.models.sparse_transformer import (
+        SparseTransformerLM, TransformerConfig, generate, generate_cached)
+
+    c = TransformerConfig(n_vocab=64, n_embd=64, n_layer=2, n_head=2,
+                          ctx=128, blk_size=16, attn_layout="fixed",
+                          local_blocks=3, mlp_block_size=16,
+                          mlp_density=0.6, dtype="float32",
+                          recompute=False)
+    m = SparseTransformerLM(c)
+    params = m.init(jax.random.PRNGKey(0))
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(0, 64, (2, 10)), jnp.int32)
+    key = jax.random.PRNGKey(7)
+    t1 = np.asarray(generate(m, params, prompt, 8, key=key))
+    t2 = np.asarray(generate_cached(m, params, prompt, 8, key=key))
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_fused_attention_streamed_matches_resident():
+    """stream=True (per-slot DMA, no VMEM residency limit) computes the
+    same fwd/lse/bwd as the resident kernels."""
+    from blocksparse_tpu.kernels import bst_attn
+
+    ctx_blks, bs, heads, hs, batch = 5, 16, 2, 32, 2
+    lay = np.zeros((ctx_blks, ctx_blks), np.int32)
+    for q in range(ctx_blks):
+        lay[q, max(0, q - 2):q + 1] = 1
+
+    def cb(blk_shape, head, qry, key, blk):
+        m = np.ones(blk_shape, bool)
+        if qry == key:
+            for r in range(blk_shape[0]):
+                m[r, r + 1:] = 0
+        return m
+
+    bst = BlocksparseTransformer(lay, block_size=bs, heads=heads,
+                                 mask_callback=cb)
+    rng = np.random.RandomState(0)
+    ctx = ctx_blks * bs
+    BH = batch * heads
+    Q = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    K = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    V = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    dO = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    sched, sched_tn = bst.attn_schedule, bst.attn_schedule_tn
+    y0, l0 = bst_attn.fused_attention_fwd_lse(Q, K, V, sched, heads, 0.2,
+                                              stream=False)
+    y1, l1 = bst_attn.fused_attention_fwd_lse(Q, K, V, sched, heads, 0.2,
+                                              stream=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), atol=1e-5)
+    g0 = bst_attn.fused_attention_bwd(Q, K, V, y0, l0, dO, sched, sched_tn,
+                                      heads, 0.2, stream=False)
+    g1 = bst_attn.fused_attention_bwd(Q, K, V, y1, l1, dO, sched, sched_tn,
+                                      heads, 0.2, stream=True)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)

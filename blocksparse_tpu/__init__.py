@@ -125,6 +125,8 @@ from blocksparse_tpu.ops.optimize import (
     adafactor1d_op,
     adam_op,
     adam_apply,
+    lazy_emb_adam_op,
+    lazy_emb_adam_apply,
     blocksparse_adam_op,
     ema_op,
 )

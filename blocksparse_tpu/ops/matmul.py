@@ -752,9 +752,85 @@ class BlocksparseMatMul:
         x2d, unflatten = self._flatten_io(I, self.C)
         if gate is None:
             y = self._bsmm(x2d, W)
+        elif isinstance(gate, np.ndarray) and dw_gated and not gate_grad:
+            # static gate: rebuild pruned schedules so gate==0 blocks are
+            # skipped entirely (the reference's gated kernels' compute
+            # skip, src/blocksparse_matmul_op.cc:186-215) — FLOPs scale
+            # with the surviving density.  Cached per gate content;
+            # changing the gate retraces (matches blocksparse_prune's
+            # frequency semantics: prune events are rare).
+            y = self._static_gated(gate)(x2d, W)
         else:
             y = self._bsmm_gated(dw_gated, gate_grad)(x2d, W, gate)
         return unflatten(y)
+
+    def _static_gated(self, gate):
+        cache = getattr(self, "_static_gate_cache", None)
+        if cache is None:
+            cache = self._static_gate_cache = {}
+        key = np.asarray(gate).tobytes()
+        if key in cache:
+            return cache[key]
+        op = self
+        keep = np.nonzero(np.asarray(gate) != 0)[0]
+        b = self.bsize
+
+        if keep.size == 0:
+            @jax.custom_vjp
+            def f0(x, w):
+                y_rows = op.o_shape(1)[1 if op.axis else 0]
+                shp = (x.shape[0], y_rows) if op.axis else \
+                    (y_rows, x.shape[1])
+                return jnp.zeros(shp, x.dtype)
+
+            def fwd0(x, w):
+                return f0(x, w), (x, w)
+
+            def bwd0(res, dy):
+                x, w = res
+                return jnp.zeros_like(x), jnp.zeros_like(w)
+            f0.defvjp(fwd0, bwd0)
+            cache[key] = f0
+            return f0
+
+        sub_layout = np.zeros(self.layout.shape, np.int32)
+        for i in keep:
+            c, k = self.updat_list[i]
+            sub_layout[c, k] = 1
+        sub = BlocksparseMatMul(sub_layout, self.bsize, self.axis,
+                                z_order=self.z_order, impl=self.impl,
+                                tile_n=self.tile_n, mode=self.mode)
+        orig_of = {coord: w for w, coord in enumerate(self.updat_list)}
+        sub_to_orig = jnp.asarray(
+            np.array([orig_of[c] for c in sub.updat_list], np.int32))
+        gv = jnp.asarray(np.asarray(gate, np.float32)[
+            np.array([orig_of[c] for c in sub.updat_list])])
+
+        @jax.custom_vjp
+        def f(x, w):
+            wc = op._canonical_w(w)
+            ws = (wc[sub_to_orig].astype(jnp.float32)
+                  * gv[:, None, None]).astype(wc.dtype)
+            return sub._fprop_impl(x, ws)
+
+        def fwd(x, w):
+            return f(x, w), (x, w)
+
+        def bwd(res, dy):
+            x, w = res
+            wc = op._canonical_w(w)
+            ws = (wc[sub_to_orig].astype(jnp.float32)
+                  * gv[:, None, None]).astype(wc.dtype)
+            dx = sub._bprop_impl(dy, ws).astype(x.dtype)
+            dws = sub._updat_impl(x, dy) * gv[:, None, None]  # dw_gated
+            dw_can = jnp.zeros((op.blocks, b, b), dws.dtype) \
+                .at[sub_to_orig].set(dws)
+            dw = op._repack_dw(dw_can)
+            return dx, dw.astype(w.dtype)
+
+        f.defvjp(fwd, bwd)
+        cache[key] = f
+        return f
 
     def _flatten_io(self, x, feat):
         """Collapse extra dims around the feature axis; returns (x2d, restore)."""

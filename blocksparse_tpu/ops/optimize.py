@@ -118,6 +118,22 @@ def adam_apply(grad, param, m, v, lr, decay_mean=0.9, decay_var=0.999,
 adam_op = adam_apply  # reference export name
 
 
+def lazy_emb_adam_apply(grad, param, m, v, lr, **kwargs):
+    """Lazy embedding Adam (reference apply_lazy_emb_adam,
+    src/optimize_op_gpu.cu, registration src/optimize_op.cc:434-440):
+    rows whose gradient is exactly zero — embedding entries untouched by
+    the batch — skip the m/v decay and the parameter update entirely, so
+    their state stays bit-identical across steps (TF's lazy
+    IndexedSlices semantics).  Under JAX the embedding grad is a dense
+    array with exact zero rows for untouched ids (deterministic
+    scatter-add), so the row mask reproduces the sparse-update set."""
+    touched = jnp.any(grad != 0, axis=tuple(range(1, grad.ndim)))
+    return adam_apply(grad, param, m, v, lr, gate=touched, **kwargs)
+
+
+lazy_emb_adam_op = lazy_emb_adam_apply  # reference export name
+
+
 class AdamOptimizer:
     """Stateful-API Adam mirroring the reference class (optimize.py:23),
     recast functionally: ``state = opt.init(params)`` then

@@ -132,7 +132,7 @@ def test_l2_normalize():
 
 def test_multi_dim_batch():
     layout = random_layout(4, 4, 0.5, seed=11)
-    bsmm = BlocksparseMatMul(layout, block_size=16, feature_axis=1, impl="xla")
+    bsmm = BlocksparseMatMul(layout, block_size=16, feature_axis=1, impl="pallas")
     X = np.random.uniform(-1, 1, (2, 8, bsmm.C)).astype(np.float32)
     W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
     Y = bsmm(jnp.asarray(X), jnp.asarray(W))
@@ -500,3 +500,71 @@ def test_dense_tile_auto_selection():
     b128 = BlocksparseMatMul(np.ones((3, 3), np.int32), block_size=128,
                              impl="pallas")
     assert b128.mode_f == "grouped"
+
+
+@pytest.mark.parametrize("w_layout", ["blocks", "fprop_packed"])
+def test_static_gate_compute_skip(w_layout):
+    """A host-numpy gate with dw_gated=True rebuilds pruned schedules
+    (gate==0 blocks are skipped, not multiplied by zero) and matches the
+    gated goldens; the pruned sub-op does proportionally less work."""
+    rng = np.random.RandomState(4)
+    lay = random_layout(8, 8, 0.5, seed=4)
+    bsm = BlocksparseMatMul(lay, block_size=32, impl="pallas",
+                            w_layout=w_layout)
+    W = rng.uniform(-1, 1, (bsm.blocks, 32, 32)).astype(np.float32)
+    gate = (rng.rand(bsm.blocks) > 0.5).astype(np.float32)
+    gate[:2] = 0.5                      # scaling gates fold in too
+    X = rng.uniform(-1, 1, bsm.i_shape(64)).astype(np.float32)
+    E = rng.uniform(-1, 1, bsm.o_shape(64)).astype(np.float32)
+    Wd = jnp.asarray(bsm.pack_weights(W) if w_layout == "fprop_packed"
+                     else W)
+
+    y = np.asarray(bsm(jnp.asarray(X), Wd, gate=gate, dw_gated=True))
+    np.testing.assert_allclose(y, bsm.fprop_test(X, W, gate),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(x, w):
+        return (bsm(x, w, gate=gate, dw_gated=True) * jnp.asarray(E)).sum()
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(X), Wd)
+    np.testing.assert_allclose(np.asarray(dx), bsm.bprop_test(E, W, gate),
+                               rtol=1e-4, atol=1e-4)
+    dwc = bsm.unpack_weights(np.asarray(dw)) \
+        if w_layout == "fprop_packed" else np.asarray(dw)
+    np.testing.assert_allclose(dwc,
+                               bsm.updat_test(X, E, gate, dw_gated=True),
+                               rtol=1e-4, atol=1e-4)
+    assert len(bsm._static_gate_cache) == 1
+
+    # all-zero gate: everything skipped, zero outputs and grads
+    g0 = np.zeros(bsm.blocks, np.float32)
+    y0 = bsm(jnp.asarray(X), Wd, gate=g0, dw_gated=True)
+    assert float(jnp.abs(y0).max()) == 0.0
+
+
+def test_lazy_emb_adam():
+    """Untouched embedding rows keep param/m/v bit-identical
+    (reference apply_lazy_emb_adam, src/optimize_op.cc:434-440)."""
+    from blocksparse_tpu import lazy_emb_adam_apply, adam_apply
+
+    rng = np.random.RandomState(0)
+    P = rng.uniform(-1, 1, (10, 8)).astype(np.float32)
+    M = rng.uniform(0, .1, (10, 8)).astype(np.float32)
+    V = rng.uniform(0, .1, (10, 8)).astype(np.float32)
+    G = np.zeros((10, 8), np.float32)
+    touched = [1, 4, 7]
+    G[touched] = rng.uniform(-1, 1, (3, 8))
+    p2, m2, v2 = map(np.asarray, lazy_emb_adam_apply(
+        jnp.asarray(G), jnp.asarray(P), jnp.asarray(M), jnp.asarray(V),
+        0.01))
+    rest = [i for i in range(10) if i not in touched]
+    np.testing.assert_array_equal(p2[rest], P[rest])
+    np.testing.assert_array_equal(m2[rest], M[rest])
+    np.testing.assert_array_equal(v2[rest], V[rest])
+    # touched rows match plain adam
+    pa, ma, va = map(np.asarray, adam_apply(
+        jnp.asarray(G), jnp.asarray(P), jnp.asarray(M), jnp.asarray(V),
+        0.01))
+    np.testing.assert_allclose(p2[touched], pa[touched])
+    np.testing.assert_allclose(m2[touched], ma[touched])
+    np.testing.assert_allclose(v2[touched], va[touched])

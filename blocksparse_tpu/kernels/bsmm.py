@@ -750,13 +750,17 @@ def xprop_pallas_grouped_panels(x, w_panels, sched: GroupedSchedule,
 @dataclass
 class DenseTileSchedule:
     """Flat chunk schedule: chunk s belongs to output group grp[s] (R
-    consecutive output block-rows); consecutive chunks of one group
-    accumulate into the same (128, TN) out tile (the sequential grid is
-    the accumulator).  slot[s, i] names the input block gathered into
-    contraction lane band i — per-slot BlockSpec DMA, so the batch tile
-    TN is not capped by whole-x VMEM residency (big TN amortizes MXU
-    weight-tile loads; measured 1.8x over the resident-x variant on
-    v5e at 8192^2/d0.25)."""
+    output block-rows); consecutive chunks of one group accumulate into
+    the same (128, TN) out tile (the sequential grid is the accumulator).
+    slot[s, i] names the input block gathered into contraction lane band
+    i — per-slot BlockSpec DMA, so the batch tile TN is not capped by
+    whole-x VMEM residency (big TN amortizes MXU weight-tile loads;
+    measured 1.8x over the resident-x variant on v5e at 8192^2/d0.25).
+
+    ``perm`` (optional) is a row permutation from union-minimizing
+    clustering (`cluster_rows`): groups take R *consecutive rows of
+    perm*, the kernel writes tiles in perm order, and the wrapper
+    gathers rows back to canonical order (one cheap XLA take)."""
     grp: np.ndarray       # (S,) output group per chunk (sorted)
     last: np.ndarray      # (S,) 1 on the group's final chunk
     slot: np.ndarray      # (S, G) input block-row per contraction slot
@@ -765,6 +769,7 @@ class DenseTileSchedule:
     R: int
     G: int
     blocks: int           # sentinel id for the appended zero block
+    perm: np.ndarray | None = None   # (n_out_blocks,) row at each position
 
     @property
     def groups(self):
@@ -774,27 +779,128 @@ class DenseTileSchedule:
     def num_chunks(self):
         return self.grp.shape[0]
 
+    def mxu_passes(self, bsize: int):
+        """128-deep MXU pass-equivalents (chunks x ceil(G*bsize/128))."""
+        return self.num_chunks * max(1, (self.G * bsize) // CONTRACT)
+
+
+def cluster_rows(entries_per_row, R: int) -> np.ndarray:
+    """Greedy union-minimizing grouping of output block-rows.
+
+    Returns a permutation: consecutive R entries form one dense-tile
+    group.  Each group's MXU/DMA cost is its column-support *union*, so
+    packing rows with shared support raises fill.  Greedy seed-by-degree
+    + min-union-growth; measured 8-12% union reduction on random
+    layouts at d=0.07-0.25 (neutral on banded, where consecutive rows
+    already share support).  Plays the role the reference's segment
+    autotuning plays on GPU (matmul.py:94-127) — scheduling, not a
+    kernel change."""
+    n = len(entries_per_row)
+    n_cols = 0
+    for ents in entries_per_row:
+        for (cb, _w) in ents:
+            n_cols = max(n_cols, cb + 1)
+
+    from blocksparse_tpu import native
+    flat_r, flat_c = [], []
+    for r, ents in enumerate(entries_per_row):
+        for (cb, _w) in ents:
+            flat_r.append(r)
+            flat_c.append(cb)
+    perm = native.cluster_rows_native(
+        np.asarray(flat_r, np.int32), np.asarray(flat_c, np.int32),
+        n, max(n_cols, 1), R)
+    if perm is not None:
+        return perm
+    return cluster_rows_py(entries_per_row, R, n_cols)
+
+
+def cluster_rows_py(entries_per_row, R: int, n_cols: int) -> np.ndarray:
+    """Pure-Python `cluster_rows` core (bit-parity oracle for the native
+    path; see tests/test_matmul.py)."""
+    n = len(entries_per_row)
+    sup = np.zeros((n, max(n_cols, 1)), bool)
+    for r, ents in enumerate(entries_per_row):
+        for (cb, _w) in ents:
+            sup[r, cb] = True
+    used = np.zeros(n, bool)
+    order = np.argsort(-sup.sum(1), kind="stable")
+    perm = []
+    for seed in order:
+        if used[seed]:
+            continue
+        used[seed] = True
+        u = sup[seed].copy()
+        perm.append(int(seed))
+        for _ in range(R - 1):
+            cand = np.nonzero(~used)[0]
+            if len(cand) == 0:
+                break
+            growth = (sup[cand] & ~u).sum(1)
+            pick = cand[int(np.argmin(growth))]
+            used[pick] = True
+            u |= sup[pick]
+            perm.append(int(pick))
+    return np.asarray(perm, np.int64)
+
+
+# Per-grid-step fixed cost in MXU-lane-equivalents (DMA issue + scalar
+# control + accumulator touch), used to trade chunk width G against step
+# count; fitted on the v5e bench chip (G=8 beat G=4 by ~9% at equal
+# slot counts on 8192^2/d0.25).
+STEP_OVERHEAD_LANES = 64
+
+
+def choose_dense_tile_G(bsize: int, union_sizes) -> int:
+    """Pick the contraction slot count per chunk: wide chunks (up to 512
+    deep) amortize per-step overhead, but pad the last chunk of each
+    group's union to a G multiple."""
+    best_g, best_cost = max(1, CONTRACT // bsize), None
+    for L in (512, 256, 128):
+        G = L // bsize
+        if G < 1:
+            continue
+        slots = sum(max(1, -(-u // G)) * G for u in union_sizes)
+        steps = sum(max(1, -(-u // G)) for u in union_sizes)
+        cost = slots * bsize + steps * STEP_OVERHEAD_LANES
+        if best_cost is None or cost < best_cost:
+            best_g, best_cost = G, cost
+    return best_g
+
 
 def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
                               blocks: int, R: int | None = None,
-                              G: int | None = None) -> DenseTileSchedule:
+                              G: int | None = None,
+                              cluster: bool = False) -> DenseTileSchedule:
     """entries_per_row: list (len n_out_blocks) of lists of (in_blk, w_id)."""
     R = R or max(1, CONTRACT // bsize)
-    G = G or max(1, CONTRACT // bsize)
     groups = -(-n_out_blocks // R)
-    grp, last, slot, wpos = [], [], [], []
+    perm = None
+    row_at = lambda p: p  # noqa: E731
+    if cluster and n_out_blocks > R:
+        perm = cluster_rows(entries_per_row, R)
+        row_at = lambda p: int(perm[p])  # noqa: E731
+
+    # first pass: per-group row lists and column unions
+    group_rows, group_cols = [], []
     for g in range(groups):
-        cols = set()
-        ents_g = []
+        ents_g, cols = [], set()
         for r in range(R):
-            row = g * R + r
-            if row >= n_out_blocks:
+            p = g * R + r
+            if p >= n_out_blocks:
                 break
-            ents = entries_per_row[row]
+            ents = entries_per_row[row_at(p)]
             ents_g.append((r, ents))
             for (cb, _w) in ents:
                 cols.add(cb)
-        cols = sorted(cols)
+        group_rows.append(ents_g)
+        group_cols.append(sorted(cols))
+    if G is None:
+        G = choose_dense_tile_G(bsize, [len(c) for c in group_cols])
+
+    grp, last, slot, wpos = [], [], [], []
+    for g in range(groups):
+        cols = group_cols[g]
         nch = max(1, -(-len(cols) // G))   # >=1 so every out tile is written
         slot_of = {cb: p for p, cb in enumerate(cols)}
         base = len(grp)
@@ -804,7 +910,7 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
             slot.append([cols[j * G + i] if j * G + i < len(cols) else 0
                          for i in range(G)])
             wpos.append(np.full((R, G), blocks, np.int64))
-        for r, ents in ents_g:
+        for r, ents in group_rows[g]:
             for (cb, w) in ents:
                 p = slot_of[cb]
                 wpos[base + p // G][r, p % G] = w
@@ -812,7 +918,7 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
         grp=np.asarray(grp, np.int32), last=np.asarray(last, np.int32),
         slot=np.asarray(slot, np.int32),
         wpos=np.stack(wpos).astype(np.int32),
-        n_out_blocks=n_out_blocks, R=R, G=G, blocks=blocks)
+        n_out_blocks=n_out_blocks, R=R, G=G, blocks=blocks, perm=perm)
 
 
 def dense_tile_panels(w, sched: DenseTileSchedule, trans_w: bool,
@@ -948,7 +1054,12 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     out = fn(jnp.asarray(sched.grp), jnp.asarray(sched.last),
              jnp.asarray(sched.slot.reshape(-1)),
              *([x] * G), w_panels)
-    if groups * R != sched.n_out_blocks:
+    if sched.perm is not None:
+        pos_of = np.empty(sched.n_out_blocks, np.int64)
+        pos_of[sched.perm] = np.arange(sched.n_out_blocks)
+        out = out.reshape(groups * R, bsize, N)[jnp.asarray(pos_of)]
+        out = out.reshape(sched.n_out_blocks * bsize, N)
+    elif groups * R != sched.n_out_blocks:
         out = out[:sched.n_out_blocks * bsize]
     return out
 
@@ -962,6 +1073,267 @@ def dense_tile_vmem_estimate(C, TN, itemsize, sched: DenseTileSchedule,
             + M * TN * 4                          # f32 accumulator
             + 2 * M * TN * out_itemsize           # out tile
             + Gb * TN * itemsize)                 # xcat temporary
+
+
+# ---- window-slab xprop: x streamed once per column window ---------------
+
+@dataclass
+class WindowSchedule:
+    """Window-major dense-tile schedule.
+
+    The flat-chunk dense-tile kernel re-fetches every gathered x slot from
+    HBM per chunk (~S*G*bsize*N bytes — 1.5 GB at 8192^2/d0.25/N2048, the
+    measured co-bottleneck with the MXU).  Here the input is streamed as
+    contiguous *window slabs* of WB block-rows, fetched once per
+    (super-group, window): chunks are ordered window-major within a
+    super-group of SG output groups, whose f32 accumulators all live in
+    VMEM scratch.  Slot gathers become dynamic slices out of the resident
+    slab, so x HBM traffic drops from O(S*G*bsize*N) to
+    O(nsg * x_bytes) while MXU pass count (fill) is unchanged up to
+    per-window chunk rounding.
+
+    Output tiles are written once: the out BlockSpec holds the tile of the
+    next-completing group (`pend`) resident until that group's final
+    chunk writes it, so no partial flushes hit HBM.
+    """
+    win: np.ndarray       # (S,) input window index per chunk
+    pend: np.ndarray      # (S,) out tile held resident (next group to finish)
+    gl: np.ndarray        # (S,) accumulator slot (group local to super-group)
+    zero: np.ndarray      # (S,) 1 on a group's first chunk overall
+    last: np.ndarray      # (S,) 1 on a group's final chunk overall
+    slot: np.ndarray      # (S, G) window-relative input block per lane band
+    wpos: np.ndarray      # (S, R, G) block id, or `blocks` (zero cell)
+    n_out_blocks: int
+    n_in_blocks: int
+    R: int
+    G: int
+    WB: int
+    SG: int
+    blocks: int           # sentinel id for the appended zero block
+
+    @property
+    def groups(self):
+        return -(-self.n_out_blocks // self.R)
+
+    @property
+    def num_chunks(self):
+        return self.win.shape[0]
+
+    @property
+    def num_windows(self):
+        return -(-self.n_in_blocks // self.WB)
+
+
+def window_pick_params(bsize: int, n_in_blocks: int, N: int, itemsize: int,
+                       vmem_budget: int = 12 * 1024 * 1024):
+    """Pick (WB, SG, G, TN) under the VMEM budget.
+
+    Preferences: TN large (amortize weight-tile loads), then SG large
+    (fewer slab re-fetches), then WB large (less chunk rounding).  The
+    slab is double-buffered; accumulators are f32.
+    """
+    G = max(1, CONTRACT // bsize)
+    M = max(CONTRACT, bsize)
+    for TN in (1024, 512, 256, 128):
+        if TN > N:
+            continue
+        if N % TN != 0:
+            continue
+        for WB in (2048 // bsize, 1024 // bsize, 512 // bsize):
+            WB = max(WB, G)
+            for SG in (8, 4, 2, 1):
+                slab = 2 * WB * bsize * TN * itemsize
+                acc = SG * M * TN * 4
+                panel = 2 * M * G * bsize * itemsize
+                out = 2 * M * TN * itemsize
+                xcat = G * bsize * TN * itemsize
+                if slab + acc + panel + out + xcat <= vmem_budget:
+                    return WB, SG, G, TN
+    return max(1, 512 // bsize), 1, G, min(N, 128)
+
+
+def build_window_schedule(entries_per_row, n_out_blocks: int,
+                          n_in_blocks: int, bsize: int, blocks: int,
+                          R: int | None = None, G: int | None = None,
+                          WB: int = 64, SG: int = 8) -> WindowSchedule:
+    """entries_per_row: list (len n_out_blocks) of lists of (in_blk, w_id)."""
+    R = R or max(1, CONTRACT // bsize)
+    G = G or max(1, CONTRACT // bsize)
+    groups = -(-n_out_blocks // R)
+    nwin = -(-n_in_blocks // WB)
+    nsg = -(-groups // SG)
+
+    # group -> per-window sorted column lists
+    gw_cols = []
+    for g in range(groups):
+        per_win = [[] for _ in range(nwin)]
+        seen = set()
+        for r in range(R):
+            row = g * R + r
+            if row >= n_out_blocks:
+                break
+            for (cb, _w) in entries_per_row[row]:
+                if cb not in seen:
+                    seen.add(cb)
+                    per_win[cb // WB].append(cb)
+        for lst in per_win:
+            lst.sort()
+        gw_cols.append(per_win)
+
+    win, gl, zero, last, slot, wpos = [], [], [], [], [], []
+    first_of = np.full(groups, -1, np.int64)
+    last_of = np.full(groups, -1, np.int64)
+    for sg in range(nsg):
+        sg_groups = range(sg * SG, min((sg + 1) * SG, groups))
+        for w in range(nwin):
+            for g in sg_groups:
+                cols = gw_cols[g][w]
+                if not cols and not (w == 0 and
+                                     not any(gw_cols[g][v]
+                                             for v in range(nwin))):
+                    continue
+                # empty group: emit one dummy chunk in window 0 so its
+                # out tile is still written (with zeros)
+                nch = max(1, -(-len(cols) // G))
+                slot_of = {cb: p for p, cb in enumerate(cols)}
+                base = len(win)
+                for j in range(nch):
+                    win.append(w)
+                    gl.append(g - sg * SG)
+                    zero.append(0)
+                    last.append(0)
+                    slot.append([cols[j * G + i] - w * WB
+                                 if j * G + i < len(cols) else 0
+                                 for i in range(G)])
+                    wpos.append(np.full((R, G), blocks, np.int64))
+                for r in range(R):
+                    row = g * R + r
+                    if row >= n_out_blocks:
+                        break
+                    for (cb, wid) in entries_per_row[row]:
+                        if cb // WB == w:
+                            p = slot_of[cb]
+                            wpos[base + p // G][r, p % G] = wid
+                if first_of[g] < 0:
+                    first_of[g] = base
+                last_of[g] = base + nch - 1
+    S = len(win)
+    zero = np.zeros(S, np.int32)
+    last = np.zeros(S, np.int32)
+    zero[first_of] = 1
+    last[last_of] = 1
+    # out tile resident per step: the next group (in step order) to finish
+    pend = np.zeros(S, np.int32)
+    order = np.argsort(last_of)
+    nxt_write = 0
+    for s in range(S):
+        pend[s] = order[nxt_write]
+        if last_of[order[nxt_write]] == s:
+            nxt_write += 1
+    return WindowSchedule(
+        win=np.asarray(win, np.int32), pend=pend,
+        gl=np.asarray(gl, np.int32), zero=zero, last=last,
+        slot=np.asarray(slot, np.int32),
+        wpos=np.stack(wpos).astype(np.int32),
+        n_out_blocks=n_out_blocks, n_in_blocks=n_in_blocks,
+        R=R, G=G, WB=WB, SG=SG, blocks=blocks)
+
+
+def _xprop_window_kernel(G, SG, M, bsize, precision,
+                         win_ref, pend_ref, gl_ref, zero_ref, last_ref,
+                         slot_ref, slab_ref, w_ref, out_ref, acc_ref):
+    s = pl.program_id(1)
+    base = pl.multiple_of(gl_ref[s] * M, M)
+    xcat = jnp.concatenate(
+        [slab_ref[pl.ds(pl.multiple_of(slot_ref[s * G + i] * bsize, bsize),
+                        bsize), :]
+         for i in range(G)], axis=0)                            # (Gb, TN)
+    contrib = jax.lax.dot_general(
+        w_ref[0], xcat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    acc = jnp.where(zero_ref[s] == 1, contrib,
+                    acc_ref[pl.ds(base, M), :] + contrib)
+    acc_ref[pl.ds(base, M), :] = acc
+
+    @pl.when(last_ref[s] == 1)
+    def _():
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def xprop_pallas_window(x, w_panels, sched: WindowSchedule, bsize: int,
+                        tile_n: int | None = None, precision=None,
+                        out_dtype=None):
+    """x (C, N) feature-major; w_panels from ``dense_tile_panels`` on the
+    window schedule.  Returns (n_out_blocks*bsize, N)."""
+    C, N = x.shape
+    R, G, WB, SG = sched.R, sched.G, sched.WB, sched.SG
+    M = R * bsize
+    S = sched.num_chunks
+    groups = sched.groups
+    nwin = sched.num_windows
+    out_dtype = out_dtype or x.dtype
+    if tile_n is None:
+        _, _, _, TN = window_pick_params(bsize, sched.n_in_blocks, N,
+                                         x.dtype.itemsize)
+    else:
+        TN = tile_n
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+    pad_rows = nwin * WB * bsize - C
+    if pad_rows > 0:
+        x = jnp.pad(x, ((0, pad_rows), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((WB * bsize, TN),
+                     lambda n, s, wi, pe, gl, ze, la, sl: (wi[s], n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, G * bsize),
+                     lambda n, s, wi, pe, gl, ze, la, sl: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((M, TN),
+                            lambda n, s, wi, pe, gl, ze, la, sl: (pe[s], n),
+                            memory_space=pltpu.VMEM)
+    nsg = -(-groups // SG)
+    cost = pl.CostEstimate(
+        flops=2 * S * M * G * bsize * N,
+        bytes_accessed=(nsg * nwin * WB * bsize * N
+                        + w_panels.size * (N // TN)) * x.dtype.itemsize
+        + groups * M * N * np.dtype(out_dtype).itemsize,
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(N // TN, S),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((SG * M, TN), jnp.float32)],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_xprop_window_kernel, G, SG, M, bsize, prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups * M, N), out_dtype),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    out = fn(jnp.asarray(sched.win), jnp.asarray(sched.pend),
+             jnp.asarray(sched.gl), jnp.asarray(sched.zero),
+             jnp.asarray(sched.last), jnp.asarray(sched.slot.reshape(-1)),
+             x, w_panels)
+    if groups * R != sched.n_out_blocks:
+        out = out[:sched.n_out_blocks * bsize]
+    return out
+
+
+def window_vmem_estimate(TN, itemsize, sched: WindowSchedule, bsize,
+                         out_itemsize=2):
+    M = sched.R * bsize
+    Gb = sched.G * bsize
+    return (2 * sched.WB * bsize * TN * itemsize   # double-buffered slab
+            + sched.SG * M * TN * 4                # group accumulators
+            + 2 * M * Gb * itemsize                # double-buffered panel
+            + 2 * M * TN * out_itemsize            # out tile
+            + Gb * TN * itemsize)                  # xcat temporary
 
 
 # ---- dense-tile updat: one pass emits an (R x G) rectangle of dw blocks --

@@ -48,6 +48,10 @@ def _build_lib():
     lib.bs_supertile_schedule.argtypes = [
         ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, i32p, i64p, i32p, i32p, i32p, i32p]
+    lib.bs_cluster_rows.restype = ctypes.c_int
+    lib.bs_cluster_rows.argtypes = [
+        ctypes.c_int64, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i32p]
     lib.bs_sample_batch.restype = None
     lib.bs_sample_batch.argtypes = [
         u8p, ctypes.c_int64, i64p, ctypes.c_int32, ctypes.c_int32,
@@ -121,6 +125,22 @@ def supertile_schedule(row_of, in_blk, w_id, n_rows, V, R):
         nnz, _i32(row_of), _i32(in_blk), _i32(w_id), n_rows, V, R,
         None, None, _i32(rows), _i32(in_idx), _i32(w_idx), _i32(w_valid))
     return rows, in_idx, w_idx, w_valid, padded.value
+
+
+def cluster_rows_native(row_of, in_blk, n_rows, n_cols, R):
+    """Native greedy union-minimizing clustering; returns the row
+    permutation, or None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_of = np.ascontiguousarray(row_of, np.int32)
+    in_blk = np.ascontiguousarray(in_blk, np.int32)
+    perm = np.empty(n_rows, np.int32)
+    rc = lib.bs_cluster_rows(row_of.shape[0], _i32(row_of), _i32(in_blk),
+                             n_rows, n_cols, R, _i32(perm))
+    if rc != 0:
+        return None
+    return perm.astype(np.int64)
 
 
 def sample_batch(data: np.ndarray, offsets: np.ndarray, ctx: int):

@@ -32,6 +32,7 @@ from blocksparse_tpu.kernels.bsmm import (
     build_dense_tile_schedule, build_updat_dense_tile_schedule,
     dense_tile_panels, dense_tile_vmem_estimate,
     dense_tile_flat_pos, dense_tile_blocks_view,
+    build_window_schedule, window_vmem_estimate,
 )
 import copy as _copy
 from blocksparse_tpu.kernels.common import pick_tile
@@ -89,7 +90,7 @@ class BlocksparseMatMul:
         if block_size not in (8, 16, 32, 64, 128):
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")
-        assert mode in ("auto", "grouped", "dense_tile")
+        assert mode in ("auto", "grouped", "dense_tile", "window")
         self.axis = feature_axis
         self.bsize = block_size
         self.z_order = z_order
@@ -195,11 +196,13 @@ class BlocksparseMatMul:
         R_dt = CONTRACT // block_size
         self.fprop_dt = self.bprop_dt = self.updat_dt = None
         self.mode_f = self.mode_b = self.mode_u = "grouped"
-        if R_dt > 1 and mode != "grouped":
+        if R_dt > 1 and mode not in ("grouped",):
+            # row clustering raises fill (union-minimizing groups); the
+            # kernel wrapper gathers rows back to canonical order
             fprop_dt = build_dense_tile_schedule(fprop_rows, KB, block_size,
-                                                 blocks)
+                                                 blocks, cluster=True)
             bprop_dt = build_dense_tile_schedule(bprop_rows, CB, block_size,
-                                                 blocks)
+                                                 blocks, cluster=True)
             updat_dt = build_updat_dense_tile_schedule(updat_list, CB,
                                                        block_size)
 
@@ -208,16 +211,38 @@ class BlocksparseMatMul:
                 # costs ceil(G*b/128) passes (output rows <=128 round to 1)
                 return s.groups * s.CH * max(1, s.G * block_size // CONTRACT)
 
-            force = mode == "dense_tile"
-            if force or fprop_dt.num_chunks < _chunks(self.fprop_grouped):
+            force = mode in ("dense_tile", "window")
+            if force or fprop_dt.mxu_passes(block_size) \
+                    < _chunks(self.fprop_grouped):
                 self.fprop_dt = fprop_dt
                 self.mode_f = "dense_tile"
-            if force or bprop_dt.num_chunks < _chunks(self.bprop_grouped):
+            if force or bprop_dt.mxu_passes(block_size) \
+                    < _chunks(self.bprop_grouped):
                 self.bprop_dt = bprop_dt
                 self.mode_b = "dense_tile"
             if force or updat_dt.num_chunks < _chunks(self.updat_grouped):
                 self.updat_dt = updat_dt
                 self.mode_u = "dense_tile"
+        if mode == "window" and R_dt >= 1:
+            # Pinned window-slab mode: x streamed once per (super-group,
+            # window) instead of per chunk — 3-6x lower x HBM traffic at
+            # the bench shape, measured neutral-to-slightly-slower on the
+            # (compute-throttled) bench chip, so auto never picks it; use
+            # when HBM bandwidth is the scarce resource.
+            Gw = max(1, 2 * CONTRACT // block_size) \
+                if block_size <= 64 else 1
+            WBf = max(Gw, min(2048 // block_size, CB))
+            WBb = max(Gw, min(2048 // block_size, KB))
+            self.fprop_dt = build_window_schedule(
+                fprop_rows, KB, CB, block_size, blocks, G=Gw, WB=WBf,
+                SG=min(8, max(1, KB // max(1, R_dt))))
+            self.bprop_dt = build_window_schedule(
+                bprop_rows, CB, KB, block_size, blocks, G=Gw, WB=WBb,
+                SG=min(8, max(1, CB // max(1, R_dt))))
+            self.mode_f = self.mode_b = "window"
+        # window schedules duck-type the dense-tile panel layout
+        self._panels_f = self.mode_f in ("dense_tile", "window")
+        self._panels_b = self.mode_b in ("dense_tile", "window")
 
         # flat sorted entry arrays for the XLA fallback impl
         def _flat(rows):
@@ -240,7 +265,7 @@ class BlocksparseMatMul:
         self.name = name or "BlocksparseMatMul"
         self.blocks = blocks
         self.flops = blocks * block_size * block_size * 2
-        if w_layout == "fprop_packed" and self.mode_f == "dense_tile":
+        if w_layout == "fprop_packed" and self._panels_f:
             # Packed store IS the fprop dense-tile panel array (cells
             # pre-transposed): fprop runs with zero weight gathers.
             fdt = self.fprop_dt
@@ -248,7 +273,7 @@ class BlocksparseMatMul:
             self.packed_blocks = fdt.num_chunks * fdt.R * fdt.G
             self.w_shape = (fdt.num_chunks, fdt.R * block_size,
                             fdt.G * block_size)
-            if self.mode_b == "dense_tile":
+            if self._panels_b:
                 wp = self.bprop_dt.wpos
                 self._bprop_dt_wpos_packed = np.where(
                     wp == blocks, self.packed_blocks,
@@ -264,7 +289,7 @@ class BlocksparseMatMul:
             bs_ = _copy.copy(self.bprop_sched)
             bs_.w_idx = self._packed_pos[self.bprop_sched.w_idx]
             self.bprop_sched_packed = bs_
-            if self.mode_b == "dense_tile":
+            if self._panels_b:
                 wp = self.bprop_dt.wpos
                 self._bprop_dt_wpos_packed = np.where(
                     wp == blocks, self.packed_blocks,
@@ -497,6 +522,17 @@ class BlocksparseMatMul:
                 return None
             TN //= 2
 
+    def _win_tile(self, sched, n, itemsize, budget=13 * 1024 * 1024):
+        """Pick an N-tile for the window kernel that fits VMEM, or None."""
+        TN = self.tile_n or bsmm_kernels.dense_tile_pick_tile(n)
+        while True:
+            est = window_vmem_estimate(TN, itemsize, sched, self.bsize)
+            if est <= budget:
+                return TN
+            if TN % 2 or TN <= 128:
+                return None
+            TN //= 2
+
     def _dt_tile(self, C_in, sched, n, itemsize, budget=13 * 1024 * 1024):
         """Pick an N-tile for the dense-tile kernel that fits VMEM, or None.
 
@@ -517,7 +553,7 @@ class BlocksparseMatMul:
     def pack_weights(self, w):
         """(blocks, b, b) canonical -> fprop-packed layout (NumPy or jnp)."""
         assert self.w_layout == "fprop_packed"
-        if self.mode_f == "dense_tile":
+        if self._panels_f:
             fdt = self.fprop_dt
             b = self.bsize
             if isinstance(w, np.ndarray):
@@ -535,7 +571,7 @@ class BlocksparseMatMul:
 
     def unpack_weights(self, w_packed):
         assert self.w_layout == "fprop_packed"
-        if self.mode_f == "dense_tile":
+        if self._panels_f:
             fdt = self.fprop_dt
             b = self.bsize
             if isinstance(w_packed, np.ndarray):
@@ -584,8 +620,21 @@ class BlocksparseMatMul:
             xp, n0 = self._pallas_pad(xcn, True)
             y = None
             grouped_packed = self.w_layout == "fprop_packed" \
-                and self.mode_f != "dense_tile"
-            if self.mode_f == "dense_tile":
+                and not self._panels_f
+            if self.mode_f == "window":
+                TN = self._win_tile(self.fprop_dt, xp.shape[1],
+                                    xp.dtype.itemsize)
+                if TN is not None:
+                    if self.w_layout == "fprop_packed":
+                        panels = w
+                    else:
+                        panels = dense_tile_panels(w, self.fprop_dt, False)
+                    y = bsmm_kernels.xprop_pallas_window(
+                        xp, panels, self.fprop_dt, self.bsize, tile_n=TN,
+                        out_dtype=x.dtype)
+                else:
+                    w = self._canonical_w(w)
+            elif self.mode_f == "dense_tile":
                 TN = self._dt_tile(self.C, self.fprop_dt, xp.shape[1],
                                    xp.dtype.itemsize)
                 if TN is not None:
@@ -633,12 +682,16 @@ class BlocksparseMatMul:
             dyp, n0 = self._pallas_pad(dycn, True)
             dx = None
             dt_packed = self.w_layout == "fprop_packed" \
-                and self.mode_f == "dense_tile"
+                and self._panels_f
             grouped_packed = self.w_layout == "fprop_packed" \
                 and not dt_packed
-            if self.mode_b == "dense_tile":
-                TN = self._dt_tile(self.K, self.bprop_dt, dyp.shape[1],
-                                   dyp.dtype.itemsize)
+            if self.mode_b in ("dense_tile", "window"):
+                if self.mode_b == "window":
+                    TN = self._win_tile(self.bprop_dt, dyp.shape[1],
+                                        dyp.dtype.itemsize)
+                else:
+                    TN = self._dt_tile(self.K, self.bprop_dt, dyp.shape[1],
+                                       dyp.dtype.itemsize)
                 if TN is not None:
                     if dt_packed:
                         # store cells are W^T: re-gather, transposing back
@@ -654,7 +707,10 @@ class BlocksparseMatMul:
                             wpos=self._bprop_dt_wpos_packed)
                     else:
                         panels = dense_tile_panels(w, self.bprop_dt, True)
-                    dx = bsmm_kernels.xprop_pallas_dense_tile(
+                    xprop = bsmm_kernels.xprop_pallas_window \
+                        if self.mode_b == "window" \
+                        else bsmm_kernels.xprop_pallas_dense_tile
+                    dx = xprop(
                         dyp, panels, self.bprop_dt, self.bsize, tile_n=TN,
                         out_dtype=dy.dtype)
             if dx is None:
@@ -689,7 +745,7 @@ class BlocksparseMatMul:
             xp, _ = self._pallas_pad(xcn, True)
             dyp, _ = self._pallas_pad(dycn, True)
             grouped_packed = self.w_layout == "fprop_packed" \
-                and self.mode_f != "dense_tile"
+                and not self._panels_f
             if self.mode_u == "dense_tile":
                 udt = self.updat_dt
                 M = udt.R * self.bsize
@@ -735,7 +791,7 @@ class BlocksparseMatMul:
         """Canonical (blocks,b,b) dw -> the packed weight layout."""
         if self.w_layout != "fprop_packed":
             return dw_canonical
-        if self.mode_f == "dense_tile":
+        if self._panels_f:
             return dense_tile_panels(dw_canonical, self.fprop_dt,
                                      trans_w=False)
         out = jnp.zeros(self.w_shape, dw_canonical.dtype)
@@ -883,7 +939,7 @@ class BlocksparseMatMul:
             g32 = gate.astype(jnp.float32)
             if op.w_layout != "fprop_packed":
                 return g32[:, None, None]
-            if op.mode_f == "dense_tile":
+            if op._panels_f:
                 fdt = op.fprop_dt
                 b = op.bsize
                 S = fdt.num_chunks
@@ -900,7 +956,7 @@ class BlocksparseMatMul:
             """Per-element store array -> per-block (blocks,) sums."""
             if op.w_layout != "fprop_packed":
                 return jnp.sum(dg_store, axis=(1, 2))
-            if op.mode_f == "dense_tile":
+            if op._panels_f:
                 pv = dense_tile_blocks_view(dg_store, op.fprop_dt, op.bsize)
                 return jnp.sum(pv, axis=(1, 2))[jnp.asarray(op._dt_flat_pos)]
             return jnp.sum(dg_store, axis=(1, 2))[jnp.asarray(op._packed_pos)]

@@ -193,4 +193,64 @@ void bs_sample_batch(const uint8_t* data, int64_t n, const int64_t* offsets,
   }
 }
 
+// ------------------------------------------------------------------
+// Greedy union-minimizing row clustering (kernels/bsmm.py cluster_rows).
+// Groups of R rows share one dense-tile column union; packing rows with
+// overlapping support raises MXU fill.  Bit-identical to the Python
+// fallback: seeds in stable descending-degree order, each pick is the
+// lowest-index unused row minimizing |support \ union|.
+// perm must hold n_rows int32.  Returns 0, or -1 on error.
+// ------------------------------------------------------------------
+int bs_cluster_rows(
+    int64_t nnz, const int32_t* row_of, const int32_t* in_blk,
+    int32_t n_rows, int32_t n_cols, int32_t R, int32_t* perm) {
+  if (n_rows <= 0 || n_cols <= 0 || R <= 0 || perm == nullptr) return -1;
+  const int32_t W = (n_cols + 63) / 64;
+  std::vector<uint64_t> sup((size_t)n_rows * W, 0);
+  std::vector<int64_t> deg(n_rows, 0);
+  for (int64_t e = 0; e < nnz; ++e) {
+    int32_t r = row_of[e], c = in_blk[e];
+    if (r < 0 || r >= n_rows || c < 0 || c >= n_cols) return -1;
+    uint64_t& w = sup[(size_t)r * W + c / 64];
+    uint64_t bit = 1ull << (c % 64);
+    if (!(w & bit)) deg[r]++;
+    w |= bit;
+  }
+  std::vector<int32_t> order(n_rows);
+  for (int32_t r = 0; r < n_rows; ++r) order[r] = r;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) { return deg[a] > deg[b]; });
+  std::vector<char> used(n_rows, 0);
+  std::vector<uint64_t> u(W);
+  int64_t out = 0;
+  for (int32_t s = 0; s < n_rows; ++s) {
+    int32_t seed = order[s];
+    if (used[seed]) continue;
+    used[seed] = 1;
+    std::memcpy(u.data(), &sup[(size_t)seed * W], W * sizeof(uint64_t));
+    perm[out++] = seed;
+    for (int32_t k = 1; k < R; ++k) {
+      int32_t best = -1;
+      int64_t best_growth = 0;
+      for (int32_t r = 0; r < n_rows; ++r) {
+        if (used[r]) continue;
+        int64_t growth = 0;
+        const uint64_t* sr = &sup[(size_t)r * W];
+        for (int32_t w = 0; w < W; ++w)
+          growth += __builtin_popcountll(sr[w] & ~u[w]);
+        if (best < 0 || growth < best_growth) {
+          best = r;
+          best_growth = growth;
+        }
+      }
+      if (best < 0) break;
+      used[best] = 1;
+      const uint64_t* sb = &sup[(size_t)best * W];
+      for (int32_t w = 0; w < W; ++w) u[w] |= sb[w];
+      perm[out++] = best;
+    }
+  }
+  return out == n_rows ? 0 : -1;
+}
+
 }  // extern "C"

@@ -568,3 +568,88 @@ def test_lazy_emb_adam():
     np.testing.assert_allclose(p2[touched], pa[touched])
     np.testing.assert_allclose(m2[touched], ma[touched])
     np.testing.assert_allclose(v2[touched], va[touched])
+
+
+@pytest.mark.parametrize("w_layout", ["blocks", "fprop_packed"])
+@pytest.mark.parametrize("bsize", [16, 32])
+def test_window_mode(bsize, w_layout):
+    """Window-slab kernel (x streamed once per column window, VMEM
+    super-group accumulators) vs goldens, incl. empty rows and a
+    non-divisible window count."""
+    CB, KB, N = 21, 11, 64
+    rng = np.random.RandomState(bsize)
+    layout = (rng.rand(CB, KB) < 0.3).astype(np.int32)
+    layout[0, 0] = 1
+    layout[5, :] = 0
+    layout[:, 7] = 0
+    bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0,
+                             impl="pallas", w_layout=w_layout,
+                             mode="window")
+    assert bsmm.mode_f == "window" and bsmm.mode_b == "window"
+    W = rng.uniform(-1, 1, (bsmm.blocks, bsize, bsize)).astype(np.float32)
+    X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    E = rng.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    Wd = bsmm.pack_weights(W) if w_layout == "fprop_packed" else W
+    if w_layout == "fprop_packed":
+        np.testing.assert_array_equal(bsmm.unpack_weights(Wd), W)
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(Wd))
+    DWc = bsmm.unpack_weights(np.asarray(DW)) \
+        if w_layout == "fprop_packed" else np.asarray(DW)
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(DWc, bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_rows_is_permutation():
+    from blocksparse_tpu.kernels.bsmm import cluster_rows, \
+        build_dense_tile_schedule
+    rng = np.random.RandomState(7)
+    rows = []
+    for _ in range(37):
+        deg = rng.randint(0, 9)
+        cols = rng.choice(48, size=deg, replace=False)
+        rows.append([(int(c), 0) for c in sorted(cols)])
+    perm = cluster_rows(rows, 4)
+    assert sorted(perm.tolist()) == list(range(37))
+    # clustered schedule never uses more slots than the consecutive one
+    wid = 0
+    rows2 = []
+    for r in rows:
+        rows2.append([(c, wid + i) for i, (c, _) in enumerate(r)])
+        wid += len(r)
+    blocks = wid
+    s_base = build_dense_tile_schedule(rows2, 37, 32, blocks, G=4)
+    s_clus = build_dense_tile_schedule(rows2, 37, 32, blocks, G=4,
+                                       cluster=True)
+    assert s_clus.num_chunks <= s_base.num_chunks
+
+
+def test_native_cluster_rows_parity():
+    from blocksparse_tpu import native
+    from blocksparse_tpu.kernels.bsmm import cluster_rows_py
+    if native.get_lib() is None:
+        pytest.skip("native host library unavailable")
+    rng = np.random.RandomState(11)
+    for n, n_cols, dens, R in [(37, 48, 0.2, 4), (64, 64, 0.35, 8),
+                               (17, 9, 0.5, 4)]:
+        rows = []
+        fr, fc = [], []
+        for r in range(n):
+            cols = np.nonzero(rng.rand(n_cols) < dens)[0]
+            rows.append([(int(c), 0) for c in cols])
+            fr.extend([r] * len(cols))
+            fc.extend(cols.tolist())
+        ref = cluster_rows_py(rows, R, n_cols)
+        got = native.cluster_rows_native(
+            np.asarray(fr, np.int32), np.asarray(fc, np.int32),
+            n, n_cols, R)
+        np.testing.assert_array_equal(got, ref)

@@ -841,7 +841,53 @@ def cluster_rows_py(entries_per_row, R: int, n_cols: int) -> np.ndarray:
             used[pick] = True
             u |= sup[pick]
             perm.append(int(pick))
-    return np.asarray(perm, np.int64)
+    perm = np.asarray(perm, np.int64)
+    _refine_swaps_py(sup, R, perm, passes=2)
+    return perm
+
+
+def _refine_swaps_py(sup, R, perm, passes=2):
+    """Deterministic swap local search (bit-parity with the native
+    refine_swaps): ascending row order, best strict-improvement partner
+    by ascending id, applied greedily in place."""
+    n = sup.shape[0]
+    pos_of = np.empty(n, np.int64)
+    pos_of[perm] = np.arange(n)
+
+    def union_size(g, skip=-1, add=-1):
+        rows = [int(perm[p]) for p in range(g * R, min((g + 1) * R, n))
+                if perm[p] != skip]
+        if add >= 0:
+            rows.append(add)
+        if not rows:
+            return 0
+        return int(np.any(sup[rows], axis=0).sum())
+
+    for _ in range(passes):
+        improved = False
+        for r in range(n):
+            g = pos_of[r] // R
+            base_g = union_size(g)
+            best_delta, best = 0, -1
+            base_cache = {}
+            for r2 in range(r + 1, n):
+                g2 = pos_of[r2] // R
+                if g2 == g:
+                    continue
+                if g2 not in base_cache:
+                    base_cache[g2] = union_size(g2)
+                delta = (union_size(g, skip=r, add=r2)
+                         + union_size(g2, skip=r2, add=r)
+                         - base_g - base_cache[g2])
+                if delta < best_delta:
+                    best_delta, best = delta, r2
+            if best >= 0:
+                pa, pb = pos_of[r], pos_of[best]
+                perm[pa], perm[pb] = perm[pb], perm[pa]
+                pos_of[r], pos_of[best] = pb, pa
+                improved = True
+        if not improved:
+            break
 
 
 # Per-grid-step fixed cost in MXU-lane-equivalents (DMA issue + scalar
@@ -983,8 +1029,10 @@ def _xprop_dense_tile_kernel(G, bsize, precision, grp_ref, last_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xcat = jnp.concatenate([x[...] for x in xs], axis=0)       # (Gb, TN)
+    # w delivered as a 2-D (M, Gb) block — a leading singleton block dim
+    # costs ~3% (measured, tools/tpu_dt_probe.py)
     acc_ref[...] += jax.lax.dot_general(
-        w_ref[0], xcat, (((1,), (0,)), ((), ())),
+        w_ref[...], xcat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(last_ref[s] == 1)
@@ -1027,7 +1075,7 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
         for i in range(G)
     ]
     in_specs.append(pl.BlockSpec(
-        (1, M, G * bsize), lambda n, s, gr, la, sl: (s, 0, 0),
+        (M, G * bsize), lambda n, s, gr, la, sl: (s, 0),
         memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((M, TN), lambda n, s, gr, la, sl: (gr[s], n),
                             memory_space=pltpu.VMEM)
@@ -1053,7 +1101,7 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     )
     out = fn(jnp.asarray(sched.grp), jnp.asarray(sched.last),
              jnp.asarray(sched.slot.reshape(-1)),
-             *([x] * G), w_panels)
+             *([x] * G), w_panels.reshape(S * M, G * bsize))
     if sched.perm is not None:
         pos_of = np.empty(sched.n_out_blocks, np.int64)
         pos_of[sched.perm] = np.arange(sched.n_out_blocks)

@@ -86,7 +86,12 @@ class BlocksparseMatMul:
         mode: "auto" picks per direction between the per-row grouped /
         supertile kernels and the dense-tile rectangle kernel (full
         128-lane MXU output tiles for bsize < 128) by estimated MXU pass
-        count; "grouped" / "dense_tile" pin it."""
+        count; "grouped" / "dense_tile" pin it.  "window" pins the
+        window-slab kernel: x streamed once per (super-group, column
+        window) — 3-6x lower input HBM traffic for bandwidth-constrained
+        deployments.  Dense-tile schedules cluster output rows by
+        column-support union (fewer MXU passes; output gathered back to
+        canonical order)."""
         if block_size not in (8, 16, 32, 64, 128):
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")

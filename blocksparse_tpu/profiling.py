@@ -75,3 +75,46 @@ def trace(logdir="/tmp/bs_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def memory_analysis(fn, *args, **kwargs):
+    """Compile-time memory breakdown of a jitted function.
+
+    TPU-native analog of the reference's memory timeline tool
+    (/root/reference/examples/lstm/memory_util.py, which parses
+    allocator verbose logs): XLA's compile-time analysis reports the
+    peak temp/argument/output/alias HBM for the optimized program —
+    the same "will it fit / what dominates" question, answered without
+    running.  Returns a dict in bytes.
+    """
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    ma = compiled.memory_analysis()
+    if ma is None:  # backend without analysis support
+        return None
+    out = {}
+    for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        v = getattr(ma, k, None)
+        if v is not None:
+            out[k.replace("_in_bytes", "")] = int(v)
+    out["peak_estimate"] = (out.get("temp_size", 0)
+                            + out.get("argument_size", 0)
+                            + out.get("output_size", 0)
+                            - out.get("alias_size", 0))
+    return out
+
+
+def live_buffers(backend=None):
+    """Live device arrays grouped per device: [(shape, dtype, nbytes)],
+    plus a total — the runtime half of the memory tooling."""
+    per_dev = {}
+    total = 0
+    for buf in jax.live_arrays(backend):
+        for shard in getattr(buf, "addressable_shards", []):
+            dev = str(shard.device)
+            nbytes = shard.data.nbytes
+            per_dev.setdefault(dev, []).append(
+                (tuple(buf.shape), str(buf.dtype), int(nbytes)))
+            total += nbytes
+    return {"per_device": per_dev, "total_bytes": int(total)}

@@ -201,6 +201,69 @@ void bs_sample_batch(const uint8_t* data, int64_t n, const int64_t* offsets,
 // lowest-index unused row minimizing |support \ union|.
 // perm must hold n_rows int32.  Returns 0, or -1 on error.
 // ------------------------------------------------------------------
+// Swap-refinement pass shared by bs_cluster_rows: deterministic local
+// search — for each row in ascending id order, find the swap partner
+// (ascending id, strict improvement) minimizing the two groups' total
+// union, apply greedily.  `pos_of` maps row -> position in perm.
+static void refine_swaps(
+    const std::vector<uint64_t>& sup, int32_t n_rows, int32_t W,
+    int32_t R, int32_t passes, int32_t* perm) {
+  const int32_t groups = (n_rows + R - 1) / R;
+  std::vector<int32_t> pos_of(n_rows);
+  for (int32_t p = 0; p < n_rows; ++p) pos_of[perm[p]] = p;
+  auto group_of = [&](int32_t r) { return pos_of[r] / R; };
+  // union popcount of group g with row `skip` removed and `add` added
+  // (skip/add may be -1)
+  std::vector<uint64_t> u(W);
+  auto union_size = [&](int32_t g, int32_t skip, int32_t add) {
+    std::fill(u.begin(), u.end(), 0);
+    for (int32_t p = g * R; p < std::min((g + 1) * R, n_rows); ++p) {
+      int32_t r = perm[p];
+      if (r == skip) continue;
+      const uint64_t* sr = &sup[(size_t)r * W];
+      for (int32_t w = 0; w < W; ++w) u[w] |= sr[w];
+    }
+    if (add >= 0) {
+      const uint64_t* sr = &sup[(size_t)add * W];
+      for (int32_t w = 0; w < W; ++w) u[w] |= sr[w];
+    }
+    int64_t c = 0;
+    for (int32_t w = 0; w < W; ++w) c += __builtin_popcountll(u[w]);
+    return c;
+  };
+  for (int32_t pass = 0; pass < passes; ++pass) {
+    bool improved = false;
+    for (int32_t r = 0; r < n_rows; ++r) {
+      int32_t g = group_of(r);
+      int64_t base_g = union_size(g, -1, -1);
+      int64_t best_delta = 0;
+      int32_t best = -1;
+      int32_t cached_g2 = -1;
+      int64_t base_g2 = 0;
+      for (int32_t r2 = r + 1; r2 < n_rows; ++r2) {
+        int32_t g2 = group_of(r2);
+        if (g2 == g) continue;
+        if (g2 != cached_g2) {
+          cached_g2 = g2;
+          base_g2 = union_size(g2, -1, -1);
+        }
+        int64_t delta = union_size(g, r, r2) + union_size(g2, r2, r)
+            - base_g - base_g2;
+        if (delta < best_delta) {
+          best_delta = delta;
+          best = r2;
+        }
+      }
+      if (best >= 0) {
+        std::swap(perm[pos_of[r]], perm[pos_of[best]]);
+        std::swap(pos_of[r], pos_of[best]);
+        improved = true;
+      }
+    }
+    if (!improved) break;
+  }
+}
+
 int bs_cluster_rows(
     int64_t nnz, const int32_t* row_of, const int32_t* in_blk,
     int32_t n_rows, int32_t n_cols, int32_t R, int32_t* perm) {
@@ -250,7 +313,9 @@ int bs_cluster_rows(
       perm[out++] = best;
     }
   }
-  return out == n_rows ? 0 : -1;
+  if (out != n_rows) return -1;
+  refine_swaps(sup, n_rows, W, R, /*passes=*/2, perm);
+  return 0;
 }
 
 }  // extern "C"

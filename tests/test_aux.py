@@ -112,3 +112,15 @@ def test_sparsity_module():
     assert "supertile128_fill_b32" in stats
     m = sparsity.make_mask(16, "ba_4")
     assert m.shape == (16, 16)
+
+
+def test_memory_tooling():
+    from blocksparse_tpu.profiling import memory_analysis, live_buffers
+    ma = memory_analysis(lambda x: jnp.dot(x, x), jnp.ones((64, 64)))
+    if ma is not None:  # backend-dependent
+        assert ma["argument_size"] >= 64 * 64 * 4
+        assert ma["peak_estimate"] > 0
+    keep = jnp.ones((32, 32))
+    lb = live_buffers()
+    assert lb["total_bytes"] >= keep.nbytes
+    assert lb["per_device"]

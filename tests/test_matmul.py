@@ -130,6 +130,37 @@ def test_l2_normalize():
     np.testing.assert_allclose(np.asarray(DW), DW_g, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["dense_tile", "grouped"])
+@pytest.mark.parametrize("bsize", [16, 32])
+def test_feature_axis1_pallas_grads(mode, bsize):
+    """NC orientation (feature_axis=1) through the Pallas kernels:
+    fprop/bprop/updat vs the NumPy goldens (reference
+    blocksparse/matmul.py feature_axis semantics)."""
+    rng = np.random.RandomState(7)
+    CB, KB, N = 9, 11, 64
+    layout = (rng.rand(CB, KB) < 0.4).astype(np.int32)
+    layout[0, 0] = 1
+    bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=1,
+                             impl="pallas", mode=mode)
+    W = rng.uniform(-1, 1, (bsmm.blocks, bsize, bsize)).astype(np.float32)
+    X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)   # (N, C)
+    E = rng.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)   # (N, K)
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(W))
+    # goldens read self.axis and take/return NC activations directly
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DW), bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_multi_dim_batch():
     layout = random_layout(4, 4, 0.5, seed=11)
     bsmm = BlocksparseMatMul(layout, block_size=16, feature_axis=1, impl="pallas")

@@ -56,7 +56,8 @@ class BlocksparseTransformer:
                 "block_size": self.blk_size,
                 "heads": self.heads,
                 "mask_blocks": self._mask_blocks,
-                "name": self.name}
+                "name": self.name,
+                "impl": self.impl}
 
     def __setstate__(self, state):
         mask_blocks = state["mask_blocks"]
@@ -67,10 +68,14 @@ class BlocksparseTransformer:
             def cb(blk_shape, head, qry, key, blk):
                 return np.asarray(mask_blocks[head][blk])
         self.__init__(state["layout"], state["block_size"], state["heads"],
-                      cb, state["name"])
+                      cb, state["name"], state.get("impl"))
 
     def __init__(self, layout, block_size=64, heads=None, mask_callback=None,
-                 name=None):
+                 name=None, impl=None):
+        # impl: None = auto (Pallas kernels on TPU, XLA elsewhere);
+        # "pallas" | "xla" force a path for the unfused nt/nn/tn trio.
+        self.impl = impl
+        self._pl_scheds = None
         layout = np.asarray(layout)
         if layout.ndim == 2:
             assert heads is not None, \
@@ -440,7 +445,124 @@ class BlocksparseTransformer:
 # reference's registered grads (transformer.py:391-449).
 # ------------------------------------------------------------------
 
+def _bst_impl(bst):
+    impl = getattr(bst, "impl", None)
+    if impl is not None:
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _bst_scheds(bst):
+    """Dense-tile schedules (per lut head) for the Pallas nt/nn/tn trio.
+
+    The three unfused ops are the bsmm kernel families with the head
+    dim as the contraction/lane axis: NT == updat (dw-shaped output),
+    NN == fprop over q rows, TN == fprop over k rows with transposed
+    cells.  Reference kernels: src/bst_hgemm_op_gpu.cu (hgemm_blocksparse
+    _qk/_nn/_tn); here they reuse kernels/bsmm.py rectangle schedules.
+    """
+    if bst._pl_scheds is None:
+        from ..kernels import bsmm as bk
+        nt, nn, tn = [], [], []
+        for lh in range(bst.lut_heads):
+            nt.append(bk.build_updat_dense_tile_schedule(
+                bst.nt_list[lh], bst.ctx_blks_q, bst.blk_size))
+            nn_entries = [[(k, blk) for (blk, k) in lut]
+                          for lut in bst.nn_list[lh]]
+            nn.append(bk.build_dense_tile_schedule(
+                nn_entries, bst.ctx_blks_q, bst.blk_size, bst.blocks))
+            tn_entries = [[(q, blk) for (blk, q) in lut]
+                          for lut in bst.tn_list[lh]]
+            tn.append(bk.build_dense_tile_schedule(
+                tn_entries, bst.ctx_blks_k, bst.blk_size, bst.blocks))
+        bst._pl_scheds = (nt, nn, tn)
+    return bst._pl_scheds
+
+
+def _per_lut_vmap(bst, a5, b5, run):
+    """Apply run(lut_head, a_inst, b_inst) vmapped over instances.
+
+    a5/b5: (batch, heads, ctx, hs).  lut_heads == 1 folds batch*heads
+    into one vmap axis; otherwise heads must equal lut_heads and each
+    head gets its own schedule."""
+    batch, heads = a5.shape[0], a5.shape[1]
+    if bst.lut_heads == 1:
+        af = a5.reshape((batch * heads,) + a5.shape[2:])
+        bf = b5.reshape((batch * heads,) + b5.shape[2:])
+        out = jax.vmap(lambda x, y: run(0, x, y))(af, bf)
+        return out.reshape((batch, heads) + out.shape[1:])
+    assert heads == bst.lut_heads, \
+        "per-head layouts require heads == lut_heads"
+    outs = [jax.vmap(lambda x, y, lh=lh: run(lh, x, y))(
+        a5[:, lh], b5[:, lh]) for lh in range(bst.lut_heads)]
+    return jnp.stack(outs, axis=1)
+
+
+def _nt_impl_pallas(bst, a, b):
+    """scores[n,h,blk] = q_blk @ k_blk^T without materializing gathered
+    q/k copies: the updat-family rectangle kernel reads q/k blocks
+    straight from HBM per the LUT."""
+    from ..kernels import bsmm as bk
+    scheds = _bst_scheds(bst)[0]
+    bs = bst.blk_size
+    a5 = bst._split_heads(a, bst.ctx_blks_q)
+    b5 = bst._split_heads(b, bst.ctx_blks_k)
+    hs = a5.shape[4]
+    q = a5.reshape(a5.shape[:2] + (-1, hs))        # (n, h, ctx_q, hs)
+    k = b5.reshape(b5.shape[:2] + (-1, hs))
+
+    def run(lh, q_i, k_i):
+        return bk.updat_pallas_dense_tile(q_i, k_i, scheds[lh], bs,
+                                          tile_n=hs)
+
+    w = _per_lut_vmap(bst, q, k, run)              # (n, h, blocks, bs, bs)
+    return w.astype(a.dtype)
+
+
+def _xn_impl_pallas(bst, w_blocked, b, trans_a):
+    """Shared NN/TN: y = sum over LUT blocks of w_blk (@ or ^T@) v_blk,
+    via the fprop-family rectangle kernel with per-instance weight
+    panels (head dim = lane axis)."""
+    from ..kernels import bsmm as bk
+    scheds = _bst_scheds(bst)[2 if trans_a else 1]
+    bs = bst.blk_size
+    ctx_blks_in = bst.ctx_blks_q if trans_a else bst.ctx_blks_k
+    b5 = bst._split_heads(b, ctx_blks_in)
+    hs = b5.shape[4]
+    x = b5.reshape(b5.shape[:2] + (-1, hs))        # (n, h, ctx_in, hs)
+
+    def run(lh, w_i, x_i):
+        sched = scheds[lh]
+        panels = bk.dense_tile_panels(w_i, sched, False,
+                                      trans_cells=trans_a)
+        return bk.xprop_pallas_dense_tile(x_i, panels, sched, bs,
+                                          tile_n=hs, out_dtype=jnp.float32)
+
+    out = _per_lut_vmap(bst, w_blocked, x, run)    # (n, h, ctx_out, hs)
+    out5 = out.reshape(out.shape[:2] + (-1, bs, hs))
+    return bst._merge_heads(out5).astype(b.dtype)
+
+
+def _hs_ok(bst, state_size):
+    """Pallas trio needs the head dim to tile onto lanes cleanly."""
+    hs = state_size // bst.heads
+    return hs % 8 == 0 and state_size % bst.heads == 0
+
+
 def _nt_impl(bst, a, b):
+    if _bst_impl(bst) == "pallas" and _hs_ok(bst, a.shape[-1]):
+        return _nt_impl_pallas(bst, a, b)
+    return _nt_impl_xla(bst, a, b)
+
+
+def _xn_impl(bst, w_blocked, b, seg_idx, gather_idx, ctx_out, trans_a):
+    if _bst_impl(bst) == "pallas" and _hs_ok(bst, b.shape[-1]):
+        return _xn_impl_pallas(bst, w_blocked, b, trans_a)
+    return _xn_impl_xla(bst, w_blocked, b, seg_idx, gather_idx, ctx_out,
+                        trans_a)
+
+
+def _nt_impl_xla(bst, a, b):
     a5 = bst._split_heads(a, bst.ctx_blks_q)
     b5 = bst._split_heads(b, bst.ctx_blks_k)
     qg = bst._head_gather(a5, bst._q_blk)
@@ -452,7 +574,7 @@ def _nt_impl(bst, a, b):
     return w.astype(a.dtype)
 
 
-def _xn_impl(bst, w_blocked, b, seg_idx, gather_idx, ctx_out, trans_a):
+def _xn_impl_xla(bst, w_blocked, b, seg_idx, gather_idx, ctx_out, trans_a):
     """Shared NN/TN: gather b blocks, per-entry matmul, segment-sum."""
     b5 = bst._split_heads(b, b.shape[1] // bst.blk_size)
     bg = bst._head_gather(b5, gather_idx)     # (batch,heads,blocks,bs,hs)

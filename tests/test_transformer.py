@@ -92,6 +92,65 @@ def test_nt_nn_grads():
     np.testing.assert_allclose(np.asarray(dk), DK, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bsize", [16, 32])
+@pytest.mark.parametrize("per_head", [False, True])
+def test_nt_nn_tn_pallas(bsize, per_head):
+    """Kernel-backed unfused trio (Pallas rectangle schedules) vs the
+    NumPy goldens, including irregular random layouts and grads."""
+    heads, ctx_blks, batch, hs = 2, 5, 2, 16
+    rng = np.random.RandomState(3)
+    lut_heads = heads if per_head else 1
+    lays = []
+    for h in range(lut_heads):
+        lay = (rng.rand(ctx_blks, ctx_blks) < 0.5).astype(np.int32)
+        lay[0, 0] = 1
+        # equal block counts across heads (API invariant)
+        flat = lay.ravel()
+        want = 12
+        on = np.flatnonzero(flat)
+        if len(on) > want:
+            flat[on[want:]] = 0
+        while flat.sum() < want:
+            off = np.flatnonzero(flat == 0)
+            flat[off[0]] = 1
+        lays.append(flat.reshape(ctx_blks, ctx_blks))
+    layout = np.array(lays) if per_head else lays[0]
+    bst = BlocksparseTransformer(layout, block_size=bsize, heads=heads,
+                                 impl="pallas")
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    A = rng.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    B = rng.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    W = rng.uniform(-1, 1, (batch, heads, bst.blocks, bsize,
+                            bsize)).astype(np.float32)
+
+    w = bst.nt_op(jnp.asarray(A), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(w), bst.nt_test(A, B),
+                               rtol=1e-4, atol=1e-4)
+    y = bst.nn_op(jnp.asarray(W), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(y), bst.nn_test(W, B),
+                               rtol=1e-4, atol=1e-4)
+    z = bst.tn_op(jnp.asarray(W), jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(z), bst.tn_test(W, A),
+                               rtol=1e-4, atol=1e-4)
+
+    DY = rng.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+
+    def f(q, k, v):
+        return jnp.sum(bst.nn_op(bst.nt_op(q, k), v) * jnp.asarray(DY))
+
+    dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(B))
+    Wt = bst.nt_test(A, B)
+    DW = bst.nt_test(DY, B)
+    np.testing.assert_allclose(np.asarray(dv), bst.tn_test(Wt, DY),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dq), bst.nn_test(DW, B),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), bst.tn_test(DW, A),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("bsize", [8, 16, 32])
 def test_blocked_masked_softmax(bsize):
     heads, ctx_blks, batch = 2, 4, 2

@@ -55,8 +55,14 @@ def test_train_step_single():
 
 
 def test_train_step_sharded_dp_tp():
-    mesh = make_mesh(dp=4, tp=2)
-    model = SparseTransformerLM(tiny_config(tp=2, mlp_block_size=16,
+    # dp=4 x tp=2 on the simulated 8-device CPU mesh; degenerate dims on
+    # smaller device counts (BS_TEST_TPU=1: 1-device mesh on the real chip,
+    # which still proves the shard_map train step compiles with Mosaic).
+    n = jax.device_count()
+    tp = 2 if n % 2 == 0 else 1
+    dp = n // tp
+    mesh = make_mesh(dp=dp, tp=tp)
+    model = SparseTransformerLM(tiny_config(tp=tp, mlp_block_size=16,
                                             mlp_density=0.5))
     params = model.init(jax.random.PRNGKey(0))
     optm = AdamOptimizer(learning_rate=1e-3)

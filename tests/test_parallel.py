@@ -1,4 +1,9 @@
-"""Collectives + mesh tests on the simulated 8-device CPU mesh."""
+"""Collectives + mesh tests.
+
+On the CPU backend this is the simulated 8-device mesh; under
+BS_TEST_TPU=1 the same tests run on the real chip with a degenerate
+1-device mesh (collectives still compile + execute on hardware).
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -10,29 +15,32 @@ from blocksparse_tpu.parallel import (
     sync_variables_op,
 )
 
+NDEV = jax.device_count()
+
 
 def test_mesh_shapes():
     mesh = make_mesh()
-    assert mesh.devices.size == 8
-    mesh2 = make_mesh(dp=4, tp=2)
-    assert mesh2.shape["dp"] == 4 and mesh2.shape["tp"] == 2
+    assert mesh.devices.size == NDEV
+    if NDEV >= 8:
+        mesh2 = make_mesh(dp=4, tp=2)
+        assert mesh2.shape["dp"] == 4 and mesh2.shape["tp"] == 2
 
 
 def test_allreduce():
     mesh = make_mesh()
-    x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    x = jnp.arange(NDEV * 4, dtype=jnp.float32).reshape(NDEV, 4)
 
     f = shard_map(lambda x: allreduce(x, axis="dp"), mesh=mesh,
                   in_specs=P("dp", None), out_specs=P("dp", None))
     y = f(x)
-    expect = np.tile(np.asarray(x).sum(axis=0, keepdims=True), (8, 1))
+    expect = np.tile(np.asarray(x).sum(axis=0, keepdims=True), (NDEV, 1))
     np.testing.assert_allclose(np.asarray(y), expect)
 
 
 def test_group_allreduce_cast():
     mesh = make_mesh()
-    g1 = jnp.ones((8, 4), jnp.float32)
-    g2 = jnp.ones((8, 2), jnp.float32)
+    g1 = jnp.ones((NDEV, 4), jnp.float32)
+    g2 = jnp.ones((NDEV, 2), jnp.float32)
 
     def step(g1, g2):
         out = group_allreduce([g1, g2], cast_all=jnp.bfloat16, axis="dp")
@@ -42,30 +50,30 @@ def test_group_allreduce_cast():
                   out_specs=(P("dp", None), P("dp", None)))
     o1, o2 = f(g1, g2)
     assert o1.dtype == jnp.bfloat16
-    np.testing.assert_allclose(np.asarray(o1, np.float32), 8.0)
+    np.testing.assert_allclose(np.asarray(o1, np.float32), float(NDEV))
 
 
 def test_reduce_scatter_all_gather_roundtrip():
     mesh = make_mesh()
     # per-shard differing values of a "replicated-shape" tensor (the model
     # sharding use case in reference nccl.py:316-429)
-    x = jnp.asarray(np.random.randn(8, 16, 4), jnp.float32)
+    x = jnp.asarray(np.random.randn(NDEV, 2 * NDEV, 4), jnp.float32)
 
     def rs_ag(x):
-        x = x[0]                                     # (16, 4) per shard
+        x = x[0]                                     # (2*NDEV, 4) per shard
         r = reduce_scatter(x, axis="dp", scatter_dimension=0)  # (2, 4)
         return all_gather(r, axis="dp", concat_dimension=0)[None]
 
     f = shard_map(rs_ag, mesh=mesh, in_specs=P("dp", None, None),
                   out_specs=P("dp", None, None))
     y = f(x)
-    expect = np.tile(np.asarray(x).sum(axis=0, keepdims=True), (8, 1, 1))
+    expect = np.tile(np.asarray(x).sum(axis=0, keepdims=True), (NDEV, 1, 1))
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5)
 
 
 def test_reduce_scatter_grad_is_all_gather():
     mesh = make_mesh()
-    x = jnp.asarray(np.random.randn(8, 16), jnp.float32)
+    x = jnp.asarray(np.random.randn(NDEV, 2 * NDEV), jnp.float32)
 
     def loss(x):
         def inner(x):
@@ -81,12 +89,12 @@ def test_reduce_scatter_grad_is_all_gather():
 def test_sync_variables():
     mesh = make_mesh()
     # each shard has different values; after sync all match shard 0
-    x = jnp.asarray(np.random.randn(8, 4), jnp.float32)
+    x = jnp.asarray(np.random.randn(NDEV, 4), jnp.float32)
 
     f = shard_map(lambda p: sync_variables_op(p, axis="dp"), mesh=mesh,
                   in_specs=P("dp", None), out_specs=P("dp", None))
     y = np.asarray(f(x))
-    for i in range(8):
+    for i in range(NDEV):
         np.testing.assert_allclose(y[i], np.asarray(x)[0])
 
 
@@ -96,13 +104,13 @@ def test_dp_training_step():
     mesh = make_mesh()
     np.random.seed(0)
     W = jnp.asarray(np.random.randn(16, 16), jnp.float32)
-    X = jnp.asarray(np.random.randn(8, 4, 16), jnp.float32)
+    X = jnp.asarray(np.random.randn(NDEV, 4, 16), jnp.float32)
 
     def step(w, x):
         def loss(w):
             return jnp.mean((x @ w) ** 2)
         g = jax.grad(loss)(w)
-        g = allreduce(g, axis="dp") / 8.0
+        g = allreduce(g, axis="dp") / float(NDEV)
         m = jnp.zeros_like(w)
         v = jnp.zeros_like(w)
         w2, _, _ = adam_apply(g, w, m, v, 0.1)

@@ -25,7 +25,9 @@ A broader sweep (densities x block sizes x layout structures) lives in
 benchmarks/bsmm_sweep.py and writes benchmarks/results_bsmm.json.
 
 Timing is loop-inside-jit (chained lax.scan) to exclude dispatch
-overhead of the remote-tunnel setup; best of 3 runs.
+overhead of the remote-tunnel setup; sparse/dense reps are interleaved
+(A/B/A/B, best-of-4 each) so slow drifts in the chip's time-slicing hit
+both workloads equally and the ratio stays honest.
 """
 import os
 import sys
@@ -38,8 +40,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+# honor an explicit CPU request (CI smoke) like tests/conftest.py does
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-def bench_loop(one_step, x0, iters=20, reps=3):
+
+def bench_prepare(one_step, x0, iters=20):
+    """Compile + warm a chained-loop runner; returns a zero-arg timer
+    for one rep (ms...s per step)."""
     @jax.jit
     def run(x):
         def body(x, _):
@@ -47,14 +56,29 @@ def bench_loop(one_step, x0, iters=20, reps=3):
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y
 
-    y = run(x0)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(reps):
+    jax.block_until_ready(run(x0))
+
+    def rep():
         t0 = time.perf_counter()
-        y = run(x0)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        jax.block_until_ready(run(x0))
+        return (time.perf_counter() - t0) / iters
+    return rep
+
+
+def bench_loop(one_step, x0, iters=20, reps=3):
+    rep = bench_prepare(one_step, x0, iters)
+    return min(rep() for _ in range(reps))
+
+
+def bench_interleaved(steps_and_x0, iters=20, reps=4):
+    """Best-of-reps for several workloads with reps interleaved
+    (A/B/A/B...), so slow drifts in the chip's time-slicing hit all
+    workloads equally and their ratio stays honest."""
+    timers = [bench_prepare(s, x, iters) for (s, x) in steps_and_x0]
+    best = [float("inf")] * len(timers)
+    for _ in range(reps):
+        for i, t in enumerate(timers):
+            best[i] = min(best[i], t())
     return best
 
 
@@ -82,14 +106,14 @@ def bsmm_bench():
     x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
     sparse_flops = 2 * bsmm.blocks * bsize * bsize * N
 
-    dt_sparse = bench_loop(lambda x: bsmm(x, W).astype(dtype), x0)
-    sparse_tflops = sparse_flops / dt_sparse / 1e12
-
     Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
-    dt_dense = bench_loop(
-        lambda x: jax.lax.dot_general(
+    dt_sparse, dt_dense = bench_interleaved([
+        (lambda x: bsmm(x, W).astype(dtype), x0),
+        (lambda x: jax.lax.dot_general(
             Wd, x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype), x0)
+            preferred_element_type=jnp.float32).astype(dtype), x0),
+    ])
+    sparse_tflops = sparse_flops / dt_sparse / 1e12
     dense_tflops = 2 * hidden * hidden * N / dt_dense / 1e12
 
     # measured effective bandwidth from the dense run
@@ -122,7 +146,10 @@ def attn_bench():
     clause 2)."""
     from blocksparse_tpu.ops.transformer import BlocksparseTransformer
 
-    ctx, bsize, heads, hs, batch = 4096, 64, 8, 64, 2
+    on_tpu = jax.default_backend() == "tpu"
+    # full-size workload on hardware; tiny equivalent off-TPU (CI smoke)
+    ctx, batch = (4096, 2) if on_tpu else (256, 1)
+    bsize, heads, hs = 64, 8, 64
     dtype = jnp.bfloat16
     ctx_blks = ctx // bsize
     lay = np.zeros((ctx_blks, ctx_blks), np.int32)
@@ -148,8 +175,6 @@ def attn_bench():
     def sparse_step(q):
         return bst.attention(q, q, q, scale=scale, use_fused=True)
 
-    dt_sparse = bench_loop(sparse_step, Q, iters=10)
-
     def dense_step(q):
         q4 = q.reshape(batch, ctx, heads, hs).transpose(0, 2, 1, 3)
         s = jnp.einsum("nhqc,nhkc->nhqk", q4, q4) * scale
@@ -159,7 +184,8 @@ def attn_bench():
         y4 = jnp.einsum("nhqk,nhkc->nhqc", p, q4)
         return y4.transpose(0, 2, 1, 3).reshape(batch, ctx, state)
 
-    dt_dense = bench_loop(dense_step, Q, iters=10)
+    dt_sparse, dt_dense = bench_interleaved(
+        [(sparse_step, Q), (dense_step, Q)], iters=10)
     sparsity = 1.0 - bst.blocks / (ctx_blks * (ctx_blks + 1) / 2)
     return {
         "attn_sparse_ms": round(dt_sparse * 1e3, 3),

@@ -892,9 +892,13 @@ def _refine_swaps_py(sup, R, perm, passes=2):
 
 # Per-grid-step fixed cost in MXU-lane-equivalents (DMA issue + scalar
 # control + accumulator touch), used to trade chunk width G against step
-# count; fitted on the v5e bench chip (G=8 beat G=4 by ~9% at equal
-# slot counts on 8192^2/d0.25).
-STEP_OVERHEAD_LANES = 64
+# count.  Fitted on the v5e bench chip across block sizes
+# (tools/tpu_chunk_sweep.py): at b32 G=8 beat G=4 by ~9% at equal slot
+# counts (8192^2/d0.25) and 768-deep chunks beat 512 by ~5%; at b16
+# (8192^2/d0.018) measured order is G=32 (1.66 ms) < G=16 (1.72) <
+# G=48 (1.87) — 128 is the smallest overhead that reproduces every
+# measured winner with the clustered union sizes.
+STEP_OVERHEAD_LANES = 128
 
 
 def choose_dense_tile_G(bsize: int, union_sizes) -> int:

@@ -2,8 +2,10 @@
 production kernel at the headline bench shape, to find whether deeper
 contraction chunks (fewer grid steps) buy more than their VMEM cost.
 
-choose_dense_tile_G currently considers contraction depths 512/256/128
-at TN<=2048; this measures 768- and 1024-deep chunks too.
+choose_dense_tile_G considers contraction depths 768/512/256/128 with a
+fitted per-step overhead (STEP_OVERHEAD_LANES); set BS_COMBOS (e.g.
+"16x2048,32x1024" = GxTN pairs) to measure specific geometries when
+re-fitting.
 """
 import os
 import sys
@@ -62,8 +64,12 @@ def main():
     print(f"H={H} N={N} bs={BS} blocks={blocks} "
           f"(density {blocks/nb/nb:.3f})")
 
-    for G, TN in ((16, 2048), (16, 1024), (24, 2048), (32, 1024),
-                  (8, 2048), (24, 1024)):
+    combos = ((16, 2048), (16, 1024), (24, 2048), (32, 1024),
+              (8, 2048), (24, 1024))
+    if os.environ.get("BS_COMBOS"):
+        combos = tuple(tuple(int(v) for v in c.split("x"))
+                       for c in os.environ["BS_COMBOS"].split(","))
+    for G, TN in combos:
         est_probe = None
         try:
             sched = K.build_dense_tile_schedule(

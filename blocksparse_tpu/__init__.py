@@ -159,4 +159,5 @@ from blocksparse_tpu.parallel import (
     sync_variables_op,
     serialize_allreduce_ops,
     identity_sync,
+    sequence_parallel_attention,
 )

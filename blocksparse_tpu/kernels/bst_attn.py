@@ -51,6 +51,10 @@ MASK_UNIQ0 = 4    # >=4: index code-4 into the unique-block table
 
 @dataclass
 class AttnSchedule:
+    """Arrays may be numpy (host-built) or traced jnp (e.g. a per-shard
+    slice selected by axis_index inside shard_map — sequence parallel);
+    every consumer only relies on shapes and passes them through to
+    pallas_call as scalar-prefetch operands."""
     row: np.ndarray       # (S,) q block-row of each step
     first: np.ndarray     # (S,)
     last: np.ndarray      # (S,)
@@ -66,7 +70,10 @@ class AttnSchedule:
 
     @property
     def num_blocks_scheduled(self):
-        return int((self.mcode != MASK_ABSENT).sum())
+        if isinstance(self.mcode, np.ndarray):
+            return int((self.mcode != MASK_ABSENT).sum())
+        # traced schedule: upper bound (cost-estimate use only)
+        return int(np.prod(self.mcode.shape))
 
 
 def classify_mask_blocks(mask_blocks, bs):

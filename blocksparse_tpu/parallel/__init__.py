@@ -13,3 +13,7 @@ from blocksparse_tpu.parallel.collectives import (
     serialize_allreduce_ops,
     identity_sync,
 )
+from blocksparse_tpu.parallel.sequence import (
+    sequence_parallel_attention,
+    build_sp_schedules,
+)

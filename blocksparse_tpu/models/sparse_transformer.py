@@ -13,6 +13,10 @@ Parallelism (beyond the reference, which was data-parallel only):
   dim sharded over "tp"; the per-shard block-sparse layouts are identical
   (SPMD requires one static schedule), so the global sparsity pattern is
   the tp-tiling of the per-shard layout.
+* sp: sequence (context) parallelism — activations sharded over "sp"
+  along ctx; attention runs `sequence_parallel_attention` (all-gathered
+  K/V, per-shard fused-kernel schedules, psum_scatter dK/dV); everything
+  else is per-position and stays local.  Composes with dp and tp.
 
 All functions are pure; parameters are a flat dict pytree with a
 matching PartitionSpec tree for shard_map.
@@ -101,6 +105,7 @@ class TransformerConfig:
     recompute: bool = True
     resid_pdrop: float = 0.0
     tp: int = 1                       # tensor-parallel shards
+    sp: int = 1                       # sequence(context)-parallel shards
 
 
 class SparseTransformerLM:
@@ -111,6 +116,8 @@ class SparseTransformerLM:
         c = self.config = config
         assert c.ctx % c.blk_size == 0
         assert c.n_head % c.tp == 0
+        assert (c.ctx // c.blk_size) % c.sp == 0, \
+            "ctx block-rows must divide by sp shards"
         self.heads_local = c.n_head // c.tp
         self.hs = c.n_embd // c.n_head
         ctx_blks = c.ctx // c.blk_size
@@ -209,21 +216,27 @@ class SparseTransformerLM:
             spec[f"h{l}"] = layer
         return spec
 
-    def grad_reduce_axes(self):
+    def grad_reduce_axes(self, include_sp=False):
         """For each param: mesh axes to psum grads over.  tp-sharded
-        params reduce over dp only; replicated params over (dp, tp)."""
+        params reduce over dp (their tp shards hold distinct grads);
+        replicated params additionally over tp (partial sums).  With
+        sequence parallelism every param also reduces over sp (each ctx
+        shard contributes a partial of the position-mean)."""
         specs = self.param_specs()
+        sp = ("sp",) if include_sp else ()
 
         def axes(p):
             named = {a for s in p if s for a in (s if isinstance(s, tuple)
                                                 else (s,))}
-            return ("dp",) if "tp" in named else ("dp", "tp")
+            base = ("dp",) if "tp" in named else ("dp", "tp")
+            return base + sp
         return jax.tree_util.tree_map(axes, specs,
                                       is_leaf=lambda x: isinstance(x, P))
 
     # ---------------- forward ----------------
 
-    def _block(self, layer, x, dtype, tp_axis, drop_key=None):
+    def _block(self, layer, x, dtype, tp_axis, drop_key=None,
+               sp_axis=None):
         c = self.config
         nd = jnp.dtype(dtype)
 
@@ -239,7 +252,14 @@ class SparseTransformerLM:
             qkv = h @ wq + layer["b_qkv"].astype(nd)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             scale = 1.0 / np.sqrt(self.hs)
-            a = self.bst.attention(q, k, v, scale=scale)
+            if sp_axis is not None and c.sp > 1:
+                from blocksparse_tpu.parallel.sequence import (
+                    sequence_parallel_attention)
+                a = sequence_parallel_attention(
+                    self.bst, q, k, v, axis=sp_axis, n_shards=c.sp,
+                    scale=scale)
+            else:
+                a = self.bst.attention(q, k, v, scale=scale)
             wo = float_cast(layer["w_out"], nd)
             y = a @ wo
             if tp_axis is not None:
@@ -361,20 +381,32 @@ class SparseTransformerLM:
         logits = h.astype(nd) @ float_cast(params["wte"], nd).T
         return logits[:, 0].astype(jnp.float32), new_caches
 
-    def forward(self, params, tokens, tp_axis=None, dropout_key=None):
+    def forward(self, params, tokens, tp_axis=None, sp_axis=None,
+                dropout_key=None):
         """tokens (batch, ctx) int32 -> logits (batch, ctx, n_vocab) f32.
-        dropout_key enables residual dropout (resid_pdrop)."""
+        Under sequence parallelism tokens are the LOCAL ctx shard
+        (batch, ctx/sp) and sp_axis names the mesh axis.  dropout_key
+        enables residual dropout (resid_pdrop)."""
         c = self.config
         nd = jnp.dtype(c.dtype)
-        x = embedding_lookup(params["wte"], tokens) \
-            + params["wpe"][None, :tokens.shape[1]]
+        L = tokens.shape[1]
+        if sp_axis is not None and c.sp > 1:
+            off = jax.lax.axis_index(sp_axis) * L
+            wpe = jax.lax.dynamic_slice_in_dim(params["wpe"], off, L, 0)
+            if dropout_key is not None:
+                dropout_key = jax.random.fold_in(
+                    dropout_key, jax.lax.axis_index(sp_axis))
+        else:
+            wpe = params["wpe"][:L]
+        x = embedding_lookup(params["wte"], tokens) + wpe[None]
         x = x.astype(jnp.float32)
 
         keys = (jax.random.split(dropout_key, c.n_layer)
                 if dropout_key is not None else [None] * c.n_layer)
         for l in range(c.n_layer):
             blk = lambda x, layer=params[f"h{l}"], k=keys[l]: \
-                self._block(layer, x, nd, tp_axis, drop_key=k)
+                self._block(layer, x, nd, tp_axis, drop_key=k,
+                            sp_axis=sp_axis)
             if c.recompute:
                 x = jax.checkpoint(blk)(x)
             else:
@@ -384,9 +416,10 @@ class SparseTransformerLM:
         logits = h.astype(nd) @ float_cast(params["wte"], nd).T
         return logits.astype(jnp.float32)
 
-    def loss(self, params, tokens, targets, tp_axis=None, dropout_key=None):
+    def loss(self, params, tokens, targets, tp_axis=None, sp_axis=None,
+             dropout_key=None):
         logits = self.forward(params, tokens, tp_axis=tp_axis,
-                              dropout_key=dropout_key)
+                              sp_axis=sp_axis, dropout_key=dropout_key)
         losses = softmax_cross_entropy(logits=logits, labels=targets)
         return jnp.mean(losses)
 
@@ -403,20 +436,25 @@ class SparseTransformerLM:
         model = self
 
         def local_step(params, opt_state, tokens, targets, loss_scale,
-                       dp_axis=None, tp_axis=None):
+                       dp_axis=None, tp_axis=None, sp_axis=None):
             def scaled_loss(p):
-                l = model.loss(p, tokens, targets, tp_axis=tp_axis)
+                l = model.loss(p, tokens, targets, tp_axis=tp_axis,
+                               sp_axis=sp_axis)
                 return l * loss_scale
 
             loss_val, grads = jax.value_and_grad(scaled_loss)(params)
 
             if dp_axis is not None:
-                reduce_axes = model.grad_reduce_axes()
+                reduce_axes = model.grad_reduce_axes(
+                    include_sp=sp_axis is not None)
                 grads = jax.tree_util.tree_map(
                     lambda g, ax: jax.lax.psum(g, ax),
                     grads, reduce_axes,
                     is_leaf=lambda x: isinstance(x, tuple))
                 nshards = jax.lax.psum(1, dp_axis)
+                if sp_axis is not None:
+                    nshards = nshards * jax.lax.psum(1, sp_axis)
+                    loss_val = jax.lax.pmean(loss_val, sp_axis)
                 grads = jax.tree_util.tree_map(lambda g: g / nshards, grads)
                 loss_val = jax.lax.pmean(loss_val, dp_axis)
 
@@ -448,10 +486,18 @@ class SparseTransformerLM:
             "mean": pspecs, "var": pspecs, "t": P(),
         }
 
-        step = partial(local_step, dp_axis="dp", tp_axis="tp")
+        use_sp = self.config.sp > 1
+        if use_sp:
+            assert "sp" in mesh.axis_names, \
+                "config.sp > 1 needs an 'sp' mesh axis (make_mesh(sp=N))"
+            assert mesh.shape["sp"] == self.config.sp, \
+                (mesh.shape, self.config.sp)
+        tok_spec = P("dp", "sp") if use_sp else P("dp", None)
+        step = partial(local_step, dp_axis="dp", tp_axis="tp",
+                       sp_axis="sp" if use_sp else None)
         smapped = shard_map(
             step, mesh=mesh,
-            in_specs=(pspecs, opt_specs, P("dp", None), P("dp", None), P()),
+            in_specs=(pspecs, opt_specs, tok_spec, tok_spec, P()),
             out_specs=(pspecs, opt_specs,
                        {"loss": P(), "grad_norm": P(), "norm_scale": P()},
                        P()),

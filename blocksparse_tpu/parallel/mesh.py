@@ -10,7 +10,8 @@ overlap the reference builds with multiple communicators and ordering
 constraints.  Multi-host bootstrap is ``jax.distributed.initialize``.
 
 Axis conventions used throughout blocksparse_tpu:
-  "dp" data parallel, "tp" tensor/model parallel, "pp" pipeline.
+  "dp" data parallel, "tp" tensor/model parallel, "pp" pipeline,
+  "sp" sequence (context) parallel.
 DCN-connected multi-slice meshes put the slower axis first so
 collectives ride ICI within a slice.
 """
@@ -21,15 +22,18 @@ import jax
 from jax.sharding import Mesh, PartitionSpec, NamedSharding
 
 
-def make_mesh(dp=None, tp=1, pp=1, devices=None, axis_names=("dp", "tp", "pp")):
-    """Build a Mesh over available devices; dp defaults to the remainder."""
+def make_mesh(dp=None, tp=1, pp=1, sp=1, devices=None,
+              axis_names=("dp", "tp", "pp", "sp")):
+    """Build a Mesh over available devices; dp defaults to the remainder.
+    Size-1 axes are kept in the mesh (psum over them is a no-op), so one
+    program can name any of dp/tp/pp/sp unconditionally."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % (tp * pp) == 0, (n, tp, pp)
-        dp = n // (tp * pp)
-    assert dp * tp * pp == n, (dp, tp, pp, n)
-    arr = np.array(devices).reshape(dp, tp, pp)
+        assert n % (tp * pp * sp) == 0, (n, tp, pp, sp)
+        dp = n // (tp * pp * sp)
+    assert dp * tp * pp * sp == n, (dp, tp, pp, sp, n)
+    arr = np.array(devices).reshape(dp, tp, pp, sp)
     return Mesh(arr, axis_names)
 
 

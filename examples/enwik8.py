@@ -23,6 +23,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+# honor an explicit CPU request (CI / virtual-mesh runs)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from blocksparse_tpu.models import SparseTransformerLM, TransformerConfig
 from blocksparse_tpu.ops.optimize import AdamOptimizer
 from blocksparse_tpu.parallel import make_mesh
@@ -68,19 +73,24 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt_every", type=int, default=0)
     p.add_argument("--eval_every", type=int, default=0)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence(context)-parallel shards")
     args = p.parse_args()
 
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
                            else "float32")
     n_dev = jax.device_count()
-    # data-parallel over all devices when the batch divides cleanly
-    dp = n_dev if args.n_batch % n_dev == 0 else 1
+    # data-parallel over the devices left after tp x sp, when the batch
+    # divides cleanly
+    rest = n_dev // (args.tp * args.sp)
+    dp = rest if rest > 0 and args.n_batch % rest == 0 else 1
 
     cfg = TransformerConfig(
         n_vocab=256, n_embd=args.n_embd, n_layer=args.n_layer,
         n_head=args.n_head, ctx=args.n_ctx, blk_size=args.blk_size,
         attn_layout=args.attn_layout, local_blocks=8, mlp_ratio=4,
-        dtype=dtype, recompute=True, tp=1)
+        dtype=dtype, recompute=True, tp=args.tp, sp=args.sp)
     model = SparseTransformerLM(cfg)
     print(f"model: {cfg.n_layer}L x {cfg.n_embd}d ctx {cfg.ctx} "
           f"attn blocks {model.bst.blocks} | devices {n_dev}")
@@ -89,7 +99,8 @@ def main():
     optm = AdamOptimizer(learning_rate=args.lr, zero_nans=True,
                          zero_infs=True)
     opt_state = optm.init(params)
-    mesh = make_mesh(dp=dp, tp=1) if dp > 1 else None
+    use_mesh = dp > 1 or args.tp > 1 or args.sp > 1
+    mesh = make_mesh(dp=dp, tp=args.tp, sp=args.sp) if use_mesh else None
     step_fn = model.make_train_step(optm, mesh=mesh)
 
     train, valid = load_data(args.data_file, 9 * 10 ** 7, 5 * 10 ** 6)

@@ -18,6 +18,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+# honor an explicit CPU request (CI / virtual-mesh runs)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import blocksparse_tpu as bs
 from blocksparse_tpu.models.sparse_lstm import SparseLSTM, LSTMConfig
 from blocksparse_tpu.ops.optimize import AdamOptimizer, Ema

@@ -19,6 +19,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+# honor an explicit CPU request (CI / virtual-mesh runs)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import blocksparse_tpu as bs
 from blocksparse_tpu.ops.transformer import masked_softmax, \
     softmax_cross_entropy

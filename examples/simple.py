@@ -8,6 +8,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+# honor an explicit CPU request (CI / virtual-mesh runs)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 from blocksparse_tpu import BlocksparseMatMul
 
 hidden_size = 4096

@@ -122,3 +122,52 @@ def test_generate():
     out = generate(model, params, prompt, steps=4)
     assert out.shape == (2, 12)
     np.testing.assert_array_equal(np.asarray(out)[:, :8], np.asarray(prompt))
+
+
+def test_train_step_sharded_dp_tp_sp():
+    """dp x tp x sp train step == single-device step (loss + params),
+    on the 8-device mesh (2x2x2); degenerate on fewer devices."""
+    import pytest
+    n = jax.device_count()
+    if n == 8:
+        dp, tp, sp = 2, 2, 2
+    elif n == 1:
+        dp = tp = sp = 1
+    else:
+        pytest.skip("needs 8 (or 1) devices")
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+    cfg = tiny_config(tp=tp, sp=sp, mlp_block_size=16, mlp_density=0.5)
+    model = SparseTransformerLM(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optm = AdamOptimizer(learning_rate=1e-3)
+    state = optm.init(params)
+    step = model.make_train_step(optm, mesh=mesh)
+    tokens = jnp.asarray(np.random.randint(0, 64, (4, 64)))
+    scale = jnp.asarray(128.0)
+
+    with mesh:
+        p1, s1, m1, sc1 = step(params, state, tokens, tokens, scale)
+    assert np.isfinite(float(m1["loss"]))
+
+    # reference: same tp (the tp-tiled MLP layout is part of the model's
+    # math), sp=1 — sequence parallelism must be loss- and
+    # update-invariant
+    mesh2 = make_mesh(dp=dp * sp, tp=tp, sp=1)
+    ref_model = SparseTransformerLM(tiny_config(tp=tp, sp=1,
+                                                mlp_block_size=16,
+                                                mlp_density=0.5))
+    ref_step = ref_model.make_train_step(optm, mesh=mesh2)
+    with mesh2:
+        rp1, _, rm1, _ = ref_step(params, optm.init(params), tokens,
+                                  tokens, scale)
+    np.testing.assert_allclose(float(m1["loss"]), float(rm1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["wte"]),
+                               np.asarray(rp1["wte"]), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["h0"]["w_qkv"]),
+                               np.asarray(rp1["h0"]["w_qkv"]), rtol=1e-4,
+                               atol=1e-6)
+    # params moved and stayed finite
+    assert not np.allclose(np.asarray(p1["wte"]), np.asarray(params["wte"]))
+    assert np.isfinite(np.asarray(p1["wte"])).all()

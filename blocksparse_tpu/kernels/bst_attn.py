@@ -108,15 +108,19 @@ def classify_mask_blocks(mask_blocks, bs):
 
 
 def build_attn_schedule(nn_list_per_head, ctx_blks_q, bs,
-                        mask_blocks=None, E=None):
+                        mask_blocks=None, E=None, classified=None):
     """nn_list_per_head: [heads][q_row] -> list of (block_id, k_blk).
     mask_blocks: (lut_heads, blocks, bs, bs) bool or None (None = all
-    scheduled blocks fully visible)."""
+    scheduled blocks fully visible).  classified: optional pre-computed
+    (blk_codes, muniq) from classify_mask_blocks — lets many schedules
+    (e.g. per ring pair) share one unique-block table."""
     if E is None:
         E = max(1, 512 // bs)
     lut_heads = len(nn_list_per_head)
 
-    if mask_blocks is not None:
+    if classified is not None:
+        blk_codes, muniq = classified
+    elif mask_blocks is not None:
         blk_codes, muniq = classify_mask_blocks(mask_blocks, bs)
     else:
         blk_codes, muniq = None, np.zeros((bs, bs), np.int8)
@@ -588,6 +592,21 @@ def fused_attention_bwd(q, k, v, out, lse, do, sched_nn: AttnSchedule,
     """Returns (dq, dk, dv).  sched_nn walks query rows (same schedule as
     forward); sched_tn walks key rows with transposed masks.  stream=True
     trades whole-tensor VMEM residency for per-step slot DMA."""
+    # D = rowsum(do * out) per query position
+    dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1, keepdims=True)          # (BH, ctxq, 1)
+    dq = fused_attention_dq(q, k, v, do, lse, dvec, sched_nn, heads,
+                            scale, precision, stream)
+    dk, dv = fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn, heads,
+                                 scale, precision, stream)
+    return dq, dk, dv
+
+
+def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,
+                       heads: int, scale=1.0, precision=None,
+                       stream=False, out_dtype=None):
+    """dq over the nn (query-row) schedule; callable standalone (ring
+    attention runs it once per key chunk and sums)."""
     BH, ctxq, hs = q.shape
     _, ctxk, _ = k.shape
     bs = sched_nn.bs
@@ -595,12 +614,6 @@ def fused_attention_bwd(q, k, v, out, lse, do, sched_nn: AttnSchedule,
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-
-    # D = rowsum(do * out) per query position
-    dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                   axis=-1, keepdims=True)          # (BH, ctxq, 1)
-
-    # ---- dq over the nn schedule ----
     E = sched_nn.E
     S = sched_nn.num_steps
     row_blk = lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0)
@@ -635,18 +648,31 @@ def fused_attention_bwd(q, k, v, out, lse, do, sched_nn: AttnSchedule,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bs, hs), jnp.float32)],
     )
-    dq = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_dq_kernel, E, bs, hs, scale, lut_heads,
                           heads, precision, stream),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, ctxq, hs), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, ctxq, hs),
+                                       out_dtype or q.dtype),
         interpret=use_interpret(),
     )(jnp.asarray(sched_nn.row), jnp.asarray(sched_nn.first),
       jnp.asarray(sched_nn.last), jnp.asarray(kidx_nn),
       jnp.asarray(sched_nn.mcode.reshape(lut_heads, -1)),
       *operands, do, lse, dvec, jnp.asarray(sched_nn.muniq))
 
-    # ---- dk/dv over the tn schedule ----
+
+def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
+                        heads: int, scale=1.0, precision=None,
+                        stream=False, out_dtype=None):
+    """dk/dv over the tn (key-row) schedule; callable standalone (ring
+    attention runs it once per circulating q shard and sums)."""
+    BH, ctxq, hs = q.shape
+    _, ctxk, _ = k.shape
+    bs = sched_tn.bs
+    lut_heads = sched_tn.k_idx.shape[0]
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
     E2 = sched_tn.E
     S2 = sched_tn.num_steps
     row_blk2 = lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0)
@@ -687,19 +713,19 @@ def fused_attention_bwd(q, k, v, out, lse, do, sched_nn: AttnSchedule,
         scratch_shapes=[pltpu.VMEM((bs, hs), jnp.float32),
                         pltpu.VMEM((bs, hs), jnp.float32)],
     )
-    dk, dv = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_dkv_kernel, E2, bs, hs, scale, lut_heads,
                           heads, precision, stream),
         grid_spec=grid_spec2,
-        out_shape=(jax.ShapeDtypeStruct((BH, ctxk, hs), k.dtype),
-                   jax.ShapeDtypeStruct((BH, ctxk, hs), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((BH, ctxk, hs),
+                                        out_dtype or k.dtype),
+                   jax.ShapeDtypeStruct((BH, ctxk, hs),
+                                        out_dtype or v.dtype)),
         interpret=use_interpret(),
     )(jnp.asarray(sched_tn.row), jnp.asarray(sched_tn.first),
       jnp.asarray(sched_tn.last), jnp.asarray(kidx_tn),
       jnp.asarray(sched_tn.mcode.reshape(lut_heads, -1)),
       *operands2, jnp.asarray(sched_tn.muniq))
-
-    return dq, dk, dv
 
 
 def build_attn_schedule_tn(tn_list_per_head, nt_list_per_head, ctx_blks_k,

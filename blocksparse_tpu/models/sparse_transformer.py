@@ -106,6 +106,7 @@ class TransformerConfig:
     resid_pdrop: float = 0.0
     tp: int = 1                       # tensor-parallel shards
     sp: int = 1                       # sequence(context)-parallel shards
+    sp_mode: str = "gather"           # "gather" (all-gather K/V) | "ring"
 
 
 class SparseTransformerLM:
@@ -253,11 +254,11 @@ class SparseTransformerLM:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             scale = 1.0 / np.sqrt(self.hs)
             if sp_axis is not None and c.sp > 1:
-                from blocksparse_tpu.parallel.sequence import (
-                    sequence_parallel_attention)
-                a = sequence_parallel_attention(
-                    self.bst, q, k, v, axis=sp_axis, n_shards=c.sp,
-                    scale=scale)
+                from blocksparse_tpu.parallel import sequence as seq
+                sp_fn = (seq.ring_attention if c.sp_mode == "ring"
+                         else seq.sequence_parallel_attention)
+                a = sp_fn(self.bst, q, k, v, axis=sp_axis, n_shards=c.sp,
+                          scale=scale)
             else:
                 a = self.bst.attention(q, k, v, scale=scale)
             wo = float_cast(layer["w_out"], nd)

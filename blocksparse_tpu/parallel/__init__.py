@@ -15,5 +15,7 @@ from blocksparse_tpu.parallel.collectives import (
 )
 from blocksparse_tpu.parallel.sequence import (
     sequence_parallel_attention,
+    ring_attention,
     build_sp_schedules,
+    build_ring_schedules,
 )

@@ -192,3 +192,160 @@ def sequence_parallel_attention(bst, q, k, v, axis="sp", n_shards=None,
 
     att.defvjp(_fwd, _bwd)
     return att(q, k, v)
+
+
+# ------------------------------------------------------------------
+# Ring attention: K/V stay sharded and rotate around the ring
+# (lax.ppermute) while every device keeps its query shard.  No full
+# K/V gather: per-device memory is O(ctx/n) for K/V, and the permute
+# of the next chunk overlaps with compute on the current one (XLA's
+# latency-hiding scheduler; the collective rides ICI neighbor links).
+# The per-(q-shard, k-chunk) block-sparse schedules are stacked and
+# selected by pair id = q_shard * n + k_chunk — one SPMD program, one
+# Pallas compilation, n^2 schedules as data.  Partial outputs merge
+# with the standard streaming-softmax combine on (out, lse); the
+# backward circulates (q, do, lse, dvec, dq-accumulator) instead,
+# with dK/dV accumulated at home.  Cf. Liu et al., "Ring Attention
+# with Blockwise Transformers" — here composed with layout-driven
+# block sparsity: empty (q-shard, k-chunk) pairs cost one inert
+# kernel launch, and the mask/LUT machinery is unchanged.
+# ------------------------------------------------------------------
+
+def build_ring_schedules(bst, n_shards: int):
+    """Stacked (n*n, ...) nn and tn schedules, pair id = qi * n + kj.
+
+    nn pair (qi, kj): query rows local to shard qi, entries restricted
+    to key blocks in chunk kj, key indices localized to the chunk.
+    tn pair (qi, kj): key rows local to chunk kj, entries restricted to
+    query blocks in shard qi, query indices localized.  All pairs share
+    one globally-classified mask table.
+    """
+    n = n_shards
+    assert bst.ctx_blks_q % n == 0 and bst.ctx_blks_k % n == 0, \
+        (bst.ctx_blks_q, bst.ctx_blks_k, n)
+    Bq = bst.ctx_blks_q // n
+    Bk = bst.ctx_blks_k // n
+    bs = bst.blk_size
+
+    cls = cls_t = None
+    if bst._mask_blocks is not None:
+        cls = bst_attn.classify_mask_blocks(bst._mask_blocks, bs)
+        mask_t = np.transpose(np.asarray(bst._mask_blocks), (0, 1, 3, 2))
+        cls_t = bst_attn.classify_mask_blocks(mask_t, bs)
+
+    nn_s, tn_s = [], []
+    for qi in range(n):
+        qlo, qhi = qi * Bq, (qi + 1) * Bq
+        for kj in range(n):
+            klo, khi = kj * Bk, (kj + 1) * Bk
+            nn_pair = [[[(bid, kb - klo) for (bid, kb) in h[q]
+                         if klo <= kb < khi]
+                        for q in range(qlo, qhi)] for h in bst.nn_list]
+            nn_s.append(bst_attn.build_attn_schedule(
+                nn_pair, Bq, bs, classified=cls))
+            tn_pair = [[[(bid, qb - qlo) for (bid, qb) in h[kr]
+                         if qlo <= qb < qhi]
+                        for kr in range(klo, khi)] for h in bst.tn_list]
+            tn_s.append(bst_attn.build_attn_schedule(
+                tn_pair, Bk, bs, classified=cls_t))
+    return SpSchedules(nn=SpSchedules._stack(nn_s),
+                       tn=SpSchedules._stack(tn_s),
+                       E=nn_s[0].E, bs=bs, n_shards=n)
+
+
+def ring_attention(bst, q, k, v, axis="sp", n_shards=None, scale=1.0):
+    """Fused sparse attention with Q *and* K/V sharded over ``axis``.
+
+    Call inside shard_map: q, k, v are local context shards
+    (batch, ctx/n, state); returns the local output shard.  Unlike
+    `sequence_parallel_attention` (which all-gathers K/V), K/V chunks
+    rotate around the ring, so per-device K/V memory is O(ctx/n) —
+    the right regime for very long context.
+    """
+    assert n_shards is not None, "pass n_shards = mesh.shape[axis]"
+    n = n_shards
+    rs = getattr(bst, "_ring_sched_cache", None)
+    if rs is None or rs.n_shards != n:
+        rs = build_ring_schedules(bst, n)
+        bst._ring_sched_cache = rs
+    heads = bst.heads
+    perm = [(r, (r + 1) % n) for r in range(n)]
+
+    def pair_sched(stack, qi, kj):
+        return rs.at(stack, qi * n + kj)
+
+    @jax.custom_vjp
+    def att(q, k, v):
+        y, _ = _fwd(q, k, v)
+        return y
+
+    def _fwd(q, k, v):
+        i = lax.axis_index(axis)
+        qf = _to_flat(q, heads)
+        kf = _to_flat(k, heads)
+        vf = _to_flat(v, heads)
+        BH, Lq, hs = qf.shape
+
+        out0 = jnp.zeros((BH, Lq, hs), jnp.float32)
+        lse0 = jnp.full((BH, Lq, 1), -1e30, jnp.float32)
+
+        def body(carry, t):
+            kb, vb, out, lse = carry
+            j = jax.lax.rem(i - t + n, n)
+            o_t, lse_t = bst_attn.fused_attention_fwd_lse(
+                qf, kb, vb, pair_sched(rs.nn, i, j), heads, scale)
+            m = jnp.maximum(lse, lse_t)
+            lse_new = m + jnp.log(jnp.exp(lse - m) + jnp.exp(lse_t - m))
+            out = (jnp.exp(lse - lse_new) * out
+                   + jnp.exp(lse_t - lse_new) * o_t.astype(jnp.float32))
+            kb = lax.ppermute(kb, axis, perm)
+            vb = lax.ppermute(vb, axis, perm)
+            return (kb, vb, out, lse_new), None
+
+        (_, _, out, lse), _ = lax.scan(
+            body, (kf, vf, out0, lse0), jnp.arange(n))
+        y = _from_flat(out.astype(q.dtype), heads)
+        return y, (q, k, v, out, lse)
+
+    def _bwd(res, dy):
+        q, k, v, outf, lse = res
+        i = lax.axis_index(axis)
+        qf = _to_flat(q, heads)
+        kf = _to_flat(k, heads)
+        vf = _to_flat(v, heads)
+        dof = _to_flat(dy, heads)
+        dvec = jnp.sum(dof.astype(jnp.float32) * outf, axis=-1,
+                       keepdims=True)
+        dq0 = jnp.zeros(qf.shape, jnp.float32)
+        dk0 = jnp.zeros(kf.shape, jnp.float32)
+        dv0 = jnp.zeros(vf.shape, jnp.float32)
+
+        def body(carry, t):
+            qt, dot, lset, dvect, dqa, dka, dva = carry
+            j = jax.lax.rem(i - t + n, n)    # q shard currently held
+            nn = pair_sched(rs.nn, j, i)
+            tn = pair_sched(rs.tn, j, i)
+            dq_t = bst_attn.fused_attention_dq(
+                qt, kf, vf, dot, lset, dvect, nn, heads, scale,
+                out_dtype=jnp.float32)
+            dk_t, dv_t = bst_attn.fused_attention_dkv(
+                qt, kf, vf, dot, lset, dvect, tn, heads, scale,
+                out_dtype=jnp.float32)
+            dqa = dqa + dq_t
+            dka = dka + dk_t
+            dva = dva + dv_t
+            qt = lax.ppermute(qt, axis, perm)
+            dot = lax.ppermute(dot, axis, perm)
+            lset = lax.ppermute(lset, axis, perm)
+            dvect = lax.ppermute(dvect, axis, perm)
+            dqa = lax.ppermute(dqa, axis, perm)
+            return (qt, dot, lset, dvect, dqa, dka, dva), None
+
+        (_, _, _, _, dqa, dka, dva), _ = lax.scan(
+            body, (qf, dof, lse, dvec, dq0, dk0, dv0), jnp.arange(n))
+        return (_from_flat(dqa, heads).astype(q.dtype),
+                _from_flat(dka, heads).astype(k.dtype),
+                _from_flat(dva, heads).astype(v.dtype))
+
+    att.defvjp(_fwd, _bwd)
+    return att(q, k, v)

@@ -76,6 +76,9 @@ def main():
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1,
                    help="sequence(context)-parallel shards")
+    p.add_argument("--sp_mode", type=str, default="gather",
+                   choices=("gather", "ring"),
+                   help="sp K/V exchange: all-gather or ring ppermute")
     args = p.parse_args()
 
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
@@ -90,7 +93,8 @@ def main():
         n_vocab=256, n_embd=args.n_embd, n_layer=args.n_layer,
         n_head=args.n_head, ctx=args.n_ctx, blk_size=args.blk_size,
         attn_layout=args.attn_layout, local_blocks=8, mlp_ratio=4,
-        dtype=dtype, recompute=True, tp=args.tp, sp=args.sp)
+        dtype=dtype, recompute=True, tp=args.tp, sp=args.sp,
+        sp_mode=args.sp_mode)
     model = SparseTransformerLM(cfg)
     print(f"model: {cfg.n_layer}L x {cfg.n_embd}d ctx {cfg.ctx} "
           f"attn blocks {model.bst.blocks} | devices {n_dev}")

@@ -124,10 +124,14 @@ def test_generate():
     np.testing.assert_array_equal(np.asarray(out)[:, :8], np.asarray(prompt))
 
 
-def test_train_step_sharded_dp_tp_sp():
-    """dp x tp x sp train step == single-device step (loss + params),
-    on the 8-device mesh (2x2x2); degenerate on fewer devices."""
-    import pytest
+import pytest
+
+
+@pytest.mark.parametrize("sp_mode", ["gather", "ring"])
+def test_train_step_sharded_dp_tp_sp(sp_mode):
+    """dp x tp x sp train step == the sp=1 step (loss + params), on the
+    8-device mesh (2x2x2); degenerate on fewer devices.  Covers both
+    all-gather and ring sequence parallelism."""
     n = jax.device_count()
     if n == 8:
         dp, tp, sp = 2, 2, 2
@@ -136,7 +140,8 @@ def test_train_step_sharded_dp_tp_sp():
     else:
         pytest.skip("needs 8 (or 1) devices")
     mesh = make_mesh(dp=dp, tp=tp, sp=sp)
-    cfg = tiny_config(tp=tp, sp=sp, mlp_block_size=16, mlp_density=0.5)
+    cfg = tiny_config(tp=tp, sp=sp, sp_mode=sp_mode,
+                      mlp_block_size=16, mlp_density=0.5)
     model = SparseTransformerLM(cfg)
     params = model.init(jax.random.PRNGKey(0))
     optm = AdamOptimizer(learning_rate=1e-3)

@@ -185,3 +185,65 @@ def test_sequence_parallel_attention():
     for a, b, name in zip(g_sp, g_full, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_ring_attention():
+    """Ring attention (K/V rotate via ppermute, per-pair schedules,
+    streaming-softmax merge) == full fused attention, outputs + grads."""
+    import pytest
+    from jax.sharding import Mesh
+    from blocksparse_tpu.ops.transformer import BlocksparseTransformer
+    from blocksparse_tpu.parallel import ring_attention
+
+    n_sp = min(NDEV, 4)
+    if NDEV % n_sp:
+        pytest.skip("device count not divisible")
+    heads, ctx_blks, bs, hs, batch = 2, 8, 16, 16, 2
+    lay = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+
+    def cb(blk_shape, head, qry, key, blk):
+        m = np.ones(blk_shape, bool)
+        if qry == key:
+            for r in range(blk_shape[0]):
+                m[r, r + 1:] = False
+        if blk == 1:
+            m[::2, 1::2] = False
+        return m
+
+    bst = BlocksparseTransformer(lay, block_size=bs, heads=heads,
+                                 mask_callback=cb)
+    ctx, state = ctx_blks * bs, heads * hs
+    rng = np.random.RandomState(1)
+    Q = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    K = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    V = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    DY = jnp.asarray(rng.uniform(-1, 1, (batch, ctx, state)), jnp.float32)
+    scale = 1.0 / np.sqrt(hs)
+
+    mesh = Mesh(np.array(jax.devices()[:n_sp]), ("sp",))
+    spec = P(None, "sp", None)
+
+    def local(q, k, v):
+        return ring_attention(bst, q, k, v, axis="sp", n_shards=n_sp,
+                              scale=scale)
+
+    f = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                  out_specs=spec, check_vma=False)
+
+    y_ring = f(Q, K, V)
+    y_full = bst.attention(Q, K, V, scale=scale, use_fused=True)
+    np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_full),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(f(q, k, v) * DY)
+
+    def loss_full(q, k, v):
+        return jnp.sum(bst.attention(q, k, v, scale=scale,
+                                     use_fused=True) * DY)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(Q, K, V)
+    g_full = jax.grad(loss_full, argnums=(0, 1, 2))(Q, K, V)
+    for a, b, name in zip(g_ring, g_full, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

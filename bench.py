@@ -46,9 +46,12 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def bench_prepare(one_step, x0, iters=20):
+def bench_prepare(one_step, x0, iters=20, reps=4):
     """Compile + warm a chained-loop runner; returns a zero-arg timer
-    for one rep (ms...s per step)."""
+    for one rep (s per step).  Every timed rep runs on a FRESH input:
+    the bench tunnel memoizes repeat executions of the same
+    (executable, args) pair (a repeat can return in ~20 us regardless
+    of size — see BENCH_NOTES.md), and a fresh argument defeats that."""
     @jax.jit
     def run(x):
         def body(x, _):
@@ -57,16 +60,25 @@ def bench_prepare(one_step, x0, iters=20):
         return y
 
     jax.block_until_ready(run(x0))
+    key = jax.random.PRNGKey(17)
+    pool = []
+    for i in range(reps):
+        key, sub = jax.random.split(key)
+        eps = (jax.random.uniform(sub, x0.shape, jnp.float32, -1e-3, 1e-3)
+               .astype(x0.dtype))
+        pool.append(x0 + eps)
+    jax.block_until_ready(pool)
 
     def rep():
+        x = pool.pop()
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x0))
+        jax.block_until_ready(run(x))
         return (time.perf_counter() - t0) / iters
     return rep
 
 
 def bench_loop(one_step, x0, iters=20, reps=3):
-    rep = bench_prepare(one_step, x0, iters)
+    rep = bench_prepare(one_step, x0, iters, reps=reps)
     return min(rep() for _ in range(reps))
 
 
@@ -74,7 +86,8 @@ def bench_interleaved(steps_and_x0, iters=20, reps=4):
     """Best-of-reps for several workloads with reps interleaved
     (A/B/A/B...), so slow drifts in the chip's time-slicing hit all
     workloads equally and their ratio stays honest."""
-    timers = [bench_prepare(s, x, iters) for (s, x) in steps_and_x0]
+    timers = [bench_prepare(s, x, iters, reps=reps)
+              for (s, x) in steps_and_x0]
     best = [float("inf")] * len(timers)
     for _ in range(reps):
         for i, t in enumerate(timers):

@@ -597,9 +597,15 @@ def fused_attention_bwd(q, k, v, out, lse, do, sched_nn: AttnSchedule,
                    axis=-1, keepdims=True)          # (BH, ctxq, 1)
     dq = fused_attention_dq(q, k, v, do, lse, dvec, sched_nn, heads,
                             scale, precision, stream)
+    # dk/dv emit f32 and cast outside the kernel: XLA's buffer promoter
+    # otherwise places a large bf16 output in scoped VMEM and busts the
+    # 16 MB limit at ctx >= 8192 (measured; f32 outputs exceed the
+    # promotion size and stay in HBM).  f32 accumulation is also the
+    # more accurate order for the chunk sums.
     dk, dv = fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn, heads,
-                                 scale, precision, stream)
-    return dq, dk, dv
+                                 scale, precision, stream,
+                                 out_dtype=jnp.float32)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,

@@ -884,10 +884,17 @@ def _can_fuse(bst, hs, ctx_k, itemsize, budget=10 * 1024 * 1024):
     return hs <= 128
 
 
-def _resident_fits(hs, ctx_k, itemsize, budget=10 * 1024 * 1024):
+def _resident_fits(hs, ctx_k, itemsize, budget=2 * 1024 * 1024):
     """Whole-head K/V (and q/do on the dkv pass) VMEM residency check;
     beyond it the kernels stream gathered slots per step instead of
-    falling back to the score-materializing path."""
+    falling back to the score-materializing path.
+
+    Budget is deliberately small: Mosaic's scoped-vmem accounting for
+    the dkv kernel charges ~10x the naive two-resident-tensors estimate
+    (measured: ctx 8192 x hs 64 bf16 = 2.1 MB naive but a 24.19 MB
+    scoped allocation that fails the 16 MB limit, while ctx 4096
+    compiles and runs).  2 MB keeps the proven-resident regime
+    (<= ctx 4096 at hs 64 bf16) and streams beyond it."""
     return 2 * ctx_k * hs * itemsize <= budget
 
 

@@ -894,8 +894,10 @@ def _resident_fits(hs, ctx_k, itemsize, budget=2 * 1024 * 1024):
     (measured: ctx 8192 x hs 64 bf16 = 2.1 MB naive but a 24.19 MB
     scoped allocation that fails the 16 MB limit, while ctx 4096
     compiles and runs).  2 MB keeps the proven-resident regime
-    (<= ctx 4096 at hs 64 bf16) and streams beyond it."""
-    return 2 * ctx_k * hs * itemsize <= budget
+    (<= ctx 4096 at hs 64 bf16) and streams beyond it.  Strict <: the
+    failing config (ctx 8192 x hs 64 bf16) lands exactly ON the 2 MB
+    budget and must stream."""
+    return 2 * ctx_k * hs * itemsize < budget
 
 
 def _attention_fused(bst, q, k, v, scale, flash_bwd=True):

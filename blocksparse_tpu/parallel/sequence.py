@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from blocksparse_tpu.kernels import bst_attn
+from blocksparse_tpu.ops.transformer import _resident_fits
 
 
 def _pad_sched(s: bst_attn.AttnSchedule, S: int) -> bst_attn.AttnSchedule:
@@ -155,7 +156,10 @@ def sequence_parallel_attention(bst, q, k, v, axis="sp", n_shards=None,
     heads = bst.heads
     hs = q.shape[-1] // heads
     ctx_k = bst.ctx_blks_k * bst.blk_size
-    stream = 2 * ctx_k * hs * q.dtype.itemsize > 10 * 1024 * 1024
+    # share the one validated scoped-vmem budget with the single-device
+    # fused path (ops/transformer._resident_fits) — the gathered K/V here
+    # is full-context, exactly the regime that overflows the dkv kernel.
+    stream = not _resident_fits(hs, ctx_k, q.dtype.itemsize)
 
     @jax.custom_vjp
     def att(q, k, v):
@@ -270,6 +274,11 @@ def ring_attention(bst, q, k, v, axis="sp", n_shards=None, scale=1.0):
         bst._ring_sched_cache = rs
     heads = bst.heads
     perm = [(r, (r + 1) % n) for r in range(n)]
+    # per-chunk K/V context is ctx/n; stream when even that exceeds the
+    # validated scoped-vmem residency budget (very long per-shard ctx)
+    hs_ring = q.shape[-1] // heads
+    ctx_chunk = (bst.ctx_blks_k // n) * bst.blk_size
+    stream = not _resident_fits(hs_ring, ctx_chunk, q.dtype.itemsize)
 
     def pair_sched(stack, qi, kj):
         return rs.at(stack, qi * n + kj)
@@ -293,7 +302,8 @@ def ring_attention(bst, q, k, v, axis="sp", n_shards=None, scale=1.0):
             kb, vb, out, lse = carry
             j = jax.lax.rem(i - t + n, n)
             o_t, lse_t = bst_attn.fused_attention_fwd_lse(
-                qf, kb, vb, pair_sched(rs.nn, i, j), heads, scale)
+                qf, kb, vb, pair_sched(rs.nn, i, j), heads, scale,
+                stream=stream)
             m = jnp.maximum(lse, lse_t)
             lse_new = m + jnp.log(jnp.exp(lse - m) + jnp.exp(lse_t - m))
             out = (jnp.exp(lse - lse_new) * out
@@ -327,10 +337,10 @@ def ring_attention(bst, q, k, v, axis="sp", n_shards=None, scale=1.0):
             tn = pair_sched(rs.tn, j, i)
             dq_t = bst_attn.fused_attention_dq(
                 qt, kf, vf, dot, lset, dvect, nn, heads, scale,
-                out_dtype=jnp.float32)
+                out_dtype=jnp.float32, stream=stream)
             dk_t, dv_t = bst_attn.fused_attention_dkv(
                 qt, kf, vf, dot, lset, dvect, tn, heads, scale,
-                out_dtype=jnp.float32)
+                out_dtype=jnp.float32, stream=stream)
             dqa = dqa + dq_t
             dka = dka + dk_t
             dva = dva + dv_t

@@ -84,10 +84,18 @@ def main():
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
                            else "float32")
     n_dev = jax.device_count()
+    if n_dev % (args.tp * args.sp) != 0:
+        raise SystemExit(
+            f"--tp {args.tp} x --sp {args.sp} must divide the device "
+            f"count ({n_dev})")
     # data-parallel over the devices left after tp x sp, when the batch
     # divides cleanly
     rest = n_dev // (args.tp * args.sp)
     dp = rest if rest > 0 and args.n_batch % rest == 0 else 1
+    mesh_devices = jax.devices()[:dp * args.tp * args.sp]
+    if dp * args.tp * args.sp < n_dev:
+        print(f"note: n_batch {args.n_batch} not divisible by {rest}; "
+              f"using {len(mesh_devices)}/{n_dev} devices (dp={dp})")
 
     cfg = TransformerConfig(
         n_vocab=256, n_embd=args.n_embd, n_layer=args.n_layer,
@@ -104,7 +112,8 @@ def main():
                          zero_infs=True)
     opt_state = optm.init(params)
     use_mesh = dp > 1 or args.tp > 1 or args.sp > 1
-    mesh = make_mesh(dp=dp, tp=args.tp, sp=args.sp) if use_mesh else None
+    mesh = (make_mesh(dp=dp, tp=args.tp, sp=args.sp,
+                      devices=mesh_devices) if use_mesh else None)
     step_fn = model.make_train_step(optm, mesh=mesh)
 
     train, valid = load_data(args.data_file, 9 * 10 ** 7, 5 * 10 ** 6)

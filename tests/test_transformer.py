@@ -531,3 +531,13 @@ def test_fused_attention_streamed_matches_resident():
                                       heads, 0.2, stream=True)
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_resident_budget_excludes_known_failing_config():
+    """Regression (ADVICE r2): ctx 8192 x hs 64 x bf16 lands exactly on
+    the 2 MiB budget and must stream — its dkv kernel's scoped-vmem
+    allocation (24.19 MB) exceeds Mosaic's 16 MB limit when resident."""
+    from blocksparse_tpu.ops.transformer import _resident_fits
+
+    assert _resident_fits(64, 8192, 2) is False
+    assert _resident_fits(64, 4096, 2) is True

@@ -5,29 +5,32 @@ Prints ONE JSON line:
 
 Config follows the reference's canonical bsmm benchmark
 (/root/reference/README.md:44-67, test/blocksparse_matmul_bench.py):
-block_size 32, random layout, density 25%.  The hidden size is scaled to
-8192 and the batch to 2048 so the workload resolves above the benchmark
-chip's ~1 ms scheduling floor (at 4096^2/N512 every matmul-shaped kernel
-measures 1.0-1.5 ms regardless of content — see BENCH_NOTES.md); the
-round-1 number at the smaller shape was timing the floor, not the
-kernel.
+block_size 32, random layout, density 25%, hidden scaled to 8192 and
+batch to 2048 (v5e-scale shapes).
 
-Roofline method: the north-star target (BASELINE.json) is >=90% of the
-density-scaled dense roofline.  The achievable sparse ideal on this
-chip is
-  t_ideal = max(density * t_dense_compute, sparse_bytes / BW_eff)
-with BW_eff measured from the dense run on the same shapes.  We report
-fraction = t_ideal / t_sparse (1.0 = speed of light on this chip);
-vs_baseline = fraction / 0.90.  detail includes the raw flops-roofline
-fraction and the sparse-vs-dense attention step comparison.
+Timing: SLOPE-BASED CHAINED TIMING.  The bench chip bills every kernel
+execution inside a jit program a fixed ~2.6-2.9 ms scheduling quantum
+(measured: a 67 MB copy, a 4 GFLOP matmul, and a 275 GFLOP matmul all
+time quantum + work_at_full_speed; tools/tpu_floor_probe.py,
+benchmarks/results_floor_probe.json).  Round 2's per-execution timing
+therefore reported quantum-dominated numbers for anything under ~2 ms
+— the entire low-density regime.  Here every workload is timed at two
+chain lengths (c applications data-dependently chained inside the scan
+body) and the per-application time is the slope
+(t(c2) - t(c1)) / (c2 - c1), which cancels the quantum exactly.
+Linearity of t(c) was verified on-chip (results_floor_probe.json).
+Sparse/dense reps are still interleaved (A/B/A/B) so time-slice drift
+hits both equally, and every rep runs on a fresh input (the tunnel
+memoizes repeat executions of identical (executable, args)).
 
-A broader sweep (densities x block sizes x layout structures) lives in
-benchmarks/bsmm_sweep.py and writes benchmarks/results_bsmm.json.
-
-Timing is loop-inside-jit (chained lax.scan) to exclude dispatch
-overhead of the remote-tunnel setup; sparse/dense reps are interleaved
-(A/B/A/B, best-of-4 each) so slow drifts in the chip's time-slicing hit
-both workloads equally and the ratio stays honest.
+Headline = canonical random layout.  detail adds: the structured
+(banded) layout fraction at the same density — random layouts carry a
+~0.39 MXU-fill ceiling on a 128-lane MXU (BENCH_NOTES.md), banded
+layouts do not, so this is the kernel-quality number; fwd+bwd
+(all three directions, like the reference's `bench` attr on every op);
+and the sparse-vs-dense-flash attention comparison (dense control =
+the SAME fused flash kernel on a dense causal layout, so the speedup
+isolates sparsity, not kernel quality).
 """
 import os
 import sys
@@ -46,28 +49,33 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def bench_prepare(one_step, x0, iters=20, reps=4):
-    """Compile + warm a chained-loop runner; returns a zero-arg timer
-    for one rep (s per step).  Every timed rep runs on a FRESH input:
-    the bench tunnel memoizes repeat executions of the same
-    (executable, args) pair (a repeat can return in ~20 us regardless
-    of size — see BENCH_NOTES.md), and a fresh argument defeats that."""
-    @jax.jit
-    def run(x):
-        def body(x, _):
-            return one_step(x), None
-        y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
-
-    jax.block_until_ready(run(x0))
-    key = jax.random.PRNGKey(17)
+def _fresh_pool(x0, reps, seed=17):
+    key = jax.random.PRNGKey(seed)
     pool = []
-    for i in range(reps):
+    for _ in range(reps):
         key, sub = jax.random.split(key)
         eps = (jax.random.uniform(sub, x0.shape, jnp.float32, -1e-3, 1e-3)
                .astype(x0.dtype))
         pool.append(x0 + eps)
     jax.block_until_ready(pool)
+    return pool
+
+
+def chain_timer(one_step, x0, chain, iters=8, reps=3):
+    """Compile + warm a runner whose scan body applies one_step `chain`
+    times (data-dependent); returns a zero-arg timer giving seconds per
+    scan iteration (= quantum + chain * t_app)."""
+    @jax.jit
+    def run(x):
+        def body(x, _):
+            for _ in range(chain):
+                x = one_step(x)
+            return x, None
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    jax.block_until_ready(run(x0))
+    pool = _fresh_pool(x0, reps, seed=chain)
 
     def rep():
         x = pool.pop()
@@ -77,22 +85,34 @@ def bench_prepare(one_step, x0, iters=20, reps=4):
     return rep
 
 
-def bench_loop(one_step, x0, iters=20, reps=3):
-    rep = bench_prepare(one_step, x0, iters, reps=reps)
-    return min(rep() for _ in range(reps))
-
-
-def bench_interleaved(steps_and_x0, iters=20, reps=4):
-    """Best-of-reps for several workloads with reps interleaved
-    (A/B/A/B...), so slow drifts in the chip's time-slicing hit all
-    workloads equally and their ratio stays honest."""
-    timers = [bench_prepare(s, x, iters, reps=reps)
+def bench_slope(steps_and_x0, chains=(2, 8), iters=8, reps=3):
+    """Per-application seconds for several workloads via the two-chain
+    slope, with all (workload, chain) reps interleaved so time-slice
+    drift cancels in the ratios."""
+    timers = [[chain_timer(s, x, c, iters, reps) for c in chains]
               for (s, x) in steps_and_x0]
-    best = [float("inf")] * len(timers)
+    best = [[float("inf")] * len(chains) for _ in timers]
     for _ in range(reps):
-        for i, t in enumerate(timers):
-            best[i] = min(best[i], t())
-    return best
+        for i, per_chain in enumerate(timers):
+            for j, t in enumerate(per_chain):
+                best[i][j] = min(best[i][j], t())
+    c1, c2 = chains
+    return [(b[1] - b[0]) / (c2 - c1) for b in best]
+
+
+def make_layout(kind, nb, density, rng):
+    if kind == "random":
+        lay = (rng.rand(nb, nb) < density).astype(np.int32)
+        lay[np.arange(nb), np.arange(nb)] = 1
+        return lay
+    if kind == "banded":
+        m = max(int(round(density * nb / 2)), 1)
+        lay = np.zeros((nb, nb), np.int32)
+        for q in range(nb):
+            lay[q, max(0, q - m + 1):q + 1] = 1
+            lay[q, q:min(nb, q + m)] = 1
+        return lay
+    raise ValueError(kind)
 
 
 def bsmm_bench():
@@ -104,72 +124,108 @@ def bsmm_bench():
     bsize, density = 32, 0.25
     dtype = jnp.bfloat16
     isz = 2
-    CB = KB = hidden // bsize
-
+    nb = hidden // bsize
     rng = np.random.RandomState(0)
-    layout = (rng.rand(CB, KB) < density).astype(np.int32)
-    layout[np.arange(CB), np.arange(CB)] = 1
-    bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0,
-                             impl="pallas" if on_tpu else "xla",
-                             w_layout="fprop_packed")
 
-    W_can = rng.uniform(-0.1, 0.1,
-                        (bsmm.blocks, bsize, bsize)).astype(np.float32)
-    W = jnp.asarray(bsmm.pack_weights(W_can), dtype)
-    x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
-    sparse_flops = 2 * bsmm.blocks * bsize * bsize * N
+    def build(kind):
+        lay = make_layout(kind, nb, density, rng)
+        bsmm = BlocksparseMatMul(lay, block_size=bsize, feature_axis=0,
+                                 impl="pallas" if on_tpu else "xla",
+                                 w_layout="fprop_packed")
+        Wc = rng.uniform(-0.1, 0.1,
+                         (bsmm.blocks, bsize, bsize)).astype(np.float32)
+        W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
+        return bsmm, W
 
+    bs_rand, W_rand = build("random")
+    bs_band, W_band = build("banded")
+    x0 = jnp.asarray(rng.uniform(-1, 1, bs_rand.i_shape(N)), dtype)
     Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
-    dt_sparse, dt_dense = bench_interleaved([
-        (lambda x: bsmm(x, W).astype(dtype), x0),
-        (lambda x: jax.lax.dot_general(
-            Wd, x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype), x0),
-    ])
-    sparse_tflops = sparse_flops / dt_sparse / 1e12
-    dense_tflops = 2 * hidden * hidden * N / dt_dense / 1e12
 
-    # measured effective bandwidth from the dense run
+    def dense_step(x):
+        return jax.lax.dot_general(
+            Wd, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+    dt_rand, dt_band, dt_dense = bench_slope([
+        (lambda x: bs_rand(x, W_rand).astype(dtype), x0),
+        (lambda x: bs_band(x, W_band).astype(dtype), x0),
+        (dense_step, x0),
+    ])
+
+    # fwd+bwd (all three directions: fprop + dx + dw contribute) — the
+    # reference benches bprop/updat via the bench attr on every op
+    # (src/blocksparse_matmul_op.cc:381).  dx has x's shape, so the
+    # grad chains as the next input.
+    def train_rand(x):
+        def f(x):
+            return jnp.sum(jnp.square(
+                bs_rand(x, W_rand).astype(jnp.float32)))
+        return jax.grad(f)(x).astype(dtype)
+
+    def train_dense(x):
+        def f(x):
+            return jnp.sum(jnp.square(dense_step(x).astype(jnp.float32)))
+        return jax.grad(f)(x).astype(dtype)
+
+    dt_rand_fb, dt_dense_fb = bench_slope([
+        (train_rand, x0), (train_dense, x0)], chains=(1, 4))
+
+    dense_flops = 2 * hidden * hidden * N
+    dense_tflops = dense_flops / dt_dense / 1e12
+
+    def fractions(bsmm, dt):
+        fl = 2 * bsmm.blocks * bsize * bsize * N
+        eff = fl / dt / 1e12
+        d_eff = bsmm.blocks / (nb * nb)
+        # density-scaled roofline: ideal time = d * t_dense
+        return eff, (d_eff * dt_dense) / dt
+
+    eff_rand, frac_rand = fractions(bs_rand, dt_rand)
+    eff_band, frac_band = fractions(bs_band, dt_band)
+    # bandwidth-aware achievable fraction (round-2 metric, kept for
+    # continuity): ideal = max(compute, bytes / measured BW)
     dense_bytes = (hidden * hidden + 2 * hidden * N) * isz + hidden * N * 4
     bw_eff = dense_bytes / dt_dense
-    # ideal sparse time on this chip: compute- or bandwidth-bound
-    sparse_bytes = (W.size + 2 * hidden * N) * isz
-    t_ideal = max(density * dt_dense, sparse_bytes / bw_eff)
-    fraction = t_ideal / dt_sparse
-    flops_fraction = sparse_tflops / dense_tflops
+    sparse_bytes = (W_rand.size + 2 * hidden * N) * isz
+    d_eff_rand = bs_rand.blocks / (nb * nb)
+    t_ideal = max(d_eff_rand * dt_dense, sparse_bytes / bw_eff)
+    achievable = t_ideal / dt_rand
+
     return {
-        "fraction": fraction,
+        "fraction": frac_rand,
         "detail": {
-            "hidden": hidden,
-            "batch": N,
-            "sparse_ms": round(dt_sparse * 1e3, 4),
+            "hidden": hidden, "batch": N, "density": density,
+            "sparse_ms": round(dt_rand * 1e3, 4),
             "dense_ms": round(dt_dense * 1e3, 4),
-            "sparse_vs_dense": round(dt_dense / dt_sparse, 3),
-            "sparse_eff_tflops": round(float(sparse_tflops), 2),
+            "sparse_vs_dense": round(dt_dense / dt_rand, 3),
+            "sparse_eff_tflops": round(float(eff_rand), 2),
             "dense_tflops": round(float(dense_tflops), 2),
-            "flops_roofline_fraction": round(float(flops_fraction), 4),
+            "flops_roofline_fraction": round(float(frac_rand), 4),
+            "achievable_roofline_fraction": round(float(achievable), 4),
+            "banded_ms": round(dt_band * 1e3, 4),
+            "banded_flops_roofline_fraction": round(float(frac_band), 4),
+            "banded_eff_tflops": round(float(eff_band), 2),
+            "fwd_bwd_sparse_ms": round(dt_rand_fb * 1e3, 4),
+            "fwd_bwd_dense_ms": round(dt_dense_fb * 1e3, 4),
+            "fwd_bwd_sparse_vs_dense": round(dt_dense_fb / dt_rand_fb, 3),
             "bw_eff_gbps": round(bw_eff / 1e9, 1),
-            "density": density,
         },
     }
 
 
 def attn_bench():
     """Sparse-vs-dense attention step time at >=75% sparsity (north-star
-    clause 2)."""
+    clause 2).  The dense control is the SAME fused flash kernel with a
+    dense causal layout (honest baseline, VERDICT r2 #3); the naive
+    score-materializing XLA attention is also reported for context."""
     from blocksparse_tpu.ops.transformer import BlocksparseTransformer
 
     on_tpu = jax.default_backend() == "tpu"
-    # full-size workload on hardware; tiny equivalent off-TPU (CI smoke)
     ctx, batch = (4096, 2) if on_tpu else (256, 1)
     bsize, heads, hs = 64, 8, 64
     dtype = jnp.bfloat16
     ctx_blks = ctx // bsize
-    lay = np.zeros((ctx_blks, ctx_blks), np.int32)
-    for q in range(ctx_blks):
-        lay[q, max(0, q - 7):q + 1] = 1
-        for k in range(0, q, 8):
-            lay[q, k] = 1
 
     def cb(blk_shape, head, qry, key, blk):
         m = np.ones(blk_shape, dtype=bool)
@@ -178,32 +234,51 @@ def attn_bench():
                 m[q, q + 1:] = 0
         return m
 
+    lay = np.zeros((ctx_blks, ctx_blks), np.int32)
+    for q in range(ctx_blks):
+        lay[q, max(0, q - 7):q + 1] = 1
+        for k in range(0, q, 8):
+            lay[q, k] = 1
     bst = BlocksparseTransformer(lay, block_size=bsize, heads=heads,
                                  mask_callback=cb)
+
+    lay_d = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+    bst_d = BlocksparseTransformer(lay_d, block_size=bsize, heads=heads,
+                                   mask_callback=cb)
+
     rng = np.random.RandomState(0)
     state = heads * hs
     Q = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, ctx, state)), dtype)
     scale = 1.0 / np.sqrt(hs)
 
     def sparse_step(q):
-        return bst.attention(q, q, q, scale=scale, use_fused=True)
+        return bst.attention(q, q, q, scale=scale, use_fused=True) \
+            .astype(dtype)
 
-    def dense_step(q):
+    def flash_dense_step(q):
+        return bst_d.attention(q, q, q, scale=scale, use_fused=True) \
+            .astype(dtype)
+
+    def naive_dense_step(q):
         q4 = q.reshape(batch, ctx, heads, hs).transpose(0, 2, 1, 3)
         s = jnp.einsum("nhqc,nhkc->nhqk", q4, q4) * scale
         causal = jnp.tril(jnp.ones((ctx, ctx), bool))
         s = jnp.where(causal, s, -1e30)
         p = jax.nn.softmax(s, axis=-1).astype(q4.dtype)
         y4 = jnp.einsum("nhqk,nhkc->nhqc", p, q4)
-        return y4.transpose(0, 2, 1, 3).reshape(batch, ctx, state)
+        return y4.transpose(0, 2, 1, 3).reshape(batch, ctx, state) \
+            .astype(dtype)
 
-    dt_sparse, dt_dense = bench_interleaved(
-        [(sparse_step, Q), (dense_step, Q)], iters=10)
+    dt_sparse, dt_flash, dt_naive = bench_slope(
+        [(sparse_step, Q), (flash_dense_step, Q), (naive_dense_step, Q)],
+        chains=(1, 4), iters=6)
     sparsity = 1.0 - bst.blocks / (ctx_blks * (ctx_blks + 1) / 2)
     return {
         "attn_sparse_ms": round(dt_sparse * 1e3, 3),
-        "attn_dense_ms": round(dt_dense * 1e3, 3),
-        "attn_speedup": round(dt_dense / dt_sparse, 2),
+        "attn_dense_flash_ms": round(dt_flash * 1e3, 3),
+        "attn_dense_naive_ms": round(dt_naive * 1e3, 3),
+        "attn_speedup_vs_flash": round(dt_flash / dt_sparse, 2),
+        "attn_speedup_vs_naive": round(dt_naive / dt_sparse, 2),
         "attn_sparsity_vs_causal": round(float(sparsity), 3),
     }
 
@@ -218,9 +293,9 @@ def main():
     detail.update(a)
     detail["backend"] = jax.default_backend()
     result = {
-        "metric": "bsmm_8192x8192_b32_d25_bf16_achievable_roofline_fraction",
+        "metric": "bsmm_8192x8192_b32_d25_bf16_flops_roofline_fraction",
         "value": round(float(b["fraction"]), 4),
-        "unit": "fraction_of_achievable_roofline",
+        "unit": "fraction_of_density_scaled_dense_roofline",
         "vs_baseline": round(float(b["fraction"] / 0.90), 4),
         "detail": detail,
     }

@@ -1,20 +1,28 @@
 #!/usr/bin/env python
-"""Sparse-attention sweep: fused flash kernel vs dense attention across
+"""Sparse-attention sweep: fused flash kernel vs dense baselines across
 context lengths, forward and forward+backward.
 
 Counterpart of the reference's transformer benchmarks (the README's
 headline attention claim); writes benchmarks/results_attn.json.  The
 layout is the fixed Sparse-Transformer pattern (local window + summary
 columns) at block 64 — the flagship model's pattern — so sparsity vs a
-causal baseline grows with ctx.  Timings are loop-inside-jit with
-sparse/dense reps interleaved (see bench.py) to keep the ratio honest
-on the time-sliced bench chip.
+causal baseline grows with ctx.
+
+Baselines (VERDICT r2 #3): the PRIMARY control is a dense flash
+attention built from the same Pallas machinery — the fused kernel on a
+dense causal layout — so the sparse/dense ratio isolates sparsity
+rather than kernel quality.  The naive score-materializing XLA
+attention is also recorded (small batch, linearly rescaled; skipped at
+ctx where its scores blow past HBM).
+
+Timing: slope-based chained timing (see bench.py) — the bench chip
+bills each kernel execution a fixed multi-ms quantum, which single-
+application timing reports instead of the kernel.
 """
 import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,50 +36,17 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 from blocksparse_tpu.ops.transformer import BlocksparseTransformer
 from blocksparse_tpu.models.sparse_transformer import (
     fixed_layout, causal_subblock_mask)
-
-
-def prepare(one_step, xs, iters):
-    """Chained-scan timer on fresh inputs.  Two tunnel quirks dictate
-    this shape (BENCH_NOTES.md round-2 late findings): repeat
-    executions of the same (executable, args) pair are memoized, so
-    every timed rep consumes a fresh input; and bare single calls
-    return near the ~20 us dispatch floor regardless of work, so the
-    step must be chained data-dependently inside one jit (lax.scan)."""
-    @jax.jit
-    def run(x):
-        def body(x, _):
-            return one_step(x), None
-        y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
-
-    jax.block_until_ready(run(xs[0]))
-    pool = list(xs[1:])
-
-    def rep():
-        x = pool.pop()
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
-        return (time.perf_counter() - t0) / iters
-    return rep
-
-
-def bench_one(step, xs, iters, reps=4):
-    t = prepare(step, xs, iters)
-    return min(t() for _ in range(reps))
+from bench import bench_slope
 
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
     p = argparse.ArgumentParser()
     p.add_argument("--ctxs", type=str,
-                   default="2048,4096,8192" if on_tpu else "256")
-    # Sparse runs at a large batch so its step lands in the >=2 ms
-    # regime where the tunnel measures honestly (BENCH_NOTES.md); dense
-    # materializes ctx^2 scores, so it runs at a small batch that fits
-    # HBM and the ratio scales it up (attention time is linear in
-    # batch).  dense_batch is recorded in the JSON.
-    p.add_argument("--batch", type=int, default=8 if on_tpu else 1)
-    p.add_argument("--dense_batch", type=int, default=2 if on_tpu else 1)
+                   default="2048,4096,8192,16384" if on_tpu else "256")
+    p.add_argument("--batch", type=int, default=2 if on_tpu else 1)
+    p.add_argument("--naive_batch", type=int, default=1)
+    p.add_argument("--naive_max_ctx", type=int, default=8192)
     p.add_argument("--heads", type=int, default=8 if on_tpu else 2)
     p.add_argument("--hs", type=int, default=64 if on_tpu else 32)
     p.add_argument("--bsize", type=int, default=64)
@@ -83,10 +58,11 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     results = {"backend": jax.default_backend(), "batch": args.batch,
-               "dense_batch": args.dense_batch, "heads": args.heads,
+               "naive_batch": args.naive_batch, "heads": args.heads,
                "head_size": args.hs, "bsize": args.bsize, "rows": []}
-    print(f"{'ctx':>6} {'sparsity':>8} {'fwd sp ms':>9} {'fwd dn ms':>9} "
-          f"{'fwd x':>6} {'fb sp ms':>8} {'fb dn ms':>8} {'fb x':>6}")
+    print(f"{'ctx':>6} {'sparsity':>8} {'fwd sp':>8} {'fwd fl':>8} "
+          f"{'x fl':>5} {'fb sp':>8} {'fb fl':>8} {'x fl':>5} "
+          f"{'fwd nv':>8}")
 
     for ctx in [int(c) for c in args.ctxs.split(",")]:
         ctx_blks = ctx // args.bsize
@@ -94,60 +70,70 @@ def main():
         bst = BlocksparseTransformer(lay, block_size=args.bsize,
                                      heads=args.heads,
                                      mask_callback=causal_subblock_mask)
+        lay_d = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+        bst_d = BlocksparseTransformer(lay_d, block_size=args.bsize,
+                                       heads=args.heads,
+                                       mask_callback=causal_subblock_mask)
         state = args.heads * args.hs
         rng = np.random.RandomState(0)
-        reps = 4
-        Qs = [jnp.asarray(
+        Q = jnp.asarray(
             rng.uniform(-0.5, 0.5, (args.batch, ctx, state)), dtype)
-            for _ in range(2 * (reps + 1))]
-        Qd = [jnp.asarray(
-            rng.uniform(-0.5, 0.5, (args.dense_batch, ctx, state)), dtype)
-            for _ in range(2 * (reps + 1))]
-        bscale = args.batch / args.dense_batch
+        Qn = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (args.naive_batch, ctx, state)), dtype)
         scale = 1.0 / np.sqrt(args.hs)
         sparsity = 1.0 - bst.blocks / (ctx_blks * (ctx_blks + 1) / 2)
 
-        def sparse_fwd(q):
-            return bst.attention(q, q, q, scale=scale, use_fused=True)
+        def mk_fwd(b):
+            def f(q):
+                return (b.attention(q, q, q, scale=scale, use_fused=True)
+                        .astype(dtype) * 0.999 + 1e-6 * q)
+            return f
 
-        def dense_fwd(q):
-            q4 = q.reshape(args.dense_batch, ctx, args.heads, args.hs) \
+        def naive_fwd(q):
+            nb = q.shape[0]
+            q4 = q.reshape(nb, ctx, args.heads, args.hs) \
                 .transpose(0, 2, 1, 3)
             s = jnp.einsum("nhqc,nhkc->nhqk", q4, q4) * scale
             causal = jnp.tril(jnp.ones((ctx, ctx), bool))
             s = jnp.where(causal, s, -1e30)
             pp = jax.nn.softmax(s, axis=-1).astype(q4.dtype)
             y4 = jnp.einsum("nhqk,nhkc->nhqc", pp, q4)
-            return y4.transpose(0, 2, 1, 3).reshape(args.dense_batch, ctx,
-                                                    state)
+            return (y4.transpose(0, 2, 1, 3).reshape(nb, ctx, state)
+                    .astype(dtype) * 0.999 + 1e-6 * q)
 
-        def fb(fwd):
+        def mk_fb(b):
+            def att(q):
+                return b.attention(q, q, q, scale=scale, use_fused=True)
+
             def step(q):
-                y, vjp = jax.vjp(fwd, q)
+                y, vjp = jax.vjp(att, q)
                 (dq,) = vjp(y)
                 return (q * 0.999 + 1e-6 * dq).astype(dtype)
             return step
 
-        iters = max(4, 2048 * 10 // ctx)
-        sf = bench_one(lambda q: sparse_fwd(q).astype(dtype) * 0.999
-                       + 1e-6 * q, Qs[:reps + 1], iters, reps)
-        df = bench_one(lambda q: dense_fwd(q).astype(dtype) * 0.999
-                       + 1e-6 * q, Qd[:reps + 1], iters, reps)
-        sb = bench_one(fb(sparse_fwd), Qs[reps + 1:], iters, reps)
-        db = bench_one(fb(dense_fwd), Qd[reps + 1:], iters, reps)
-        df_eq = df * bscale          # dense time at the sparse batch
-        db_eq = db * bscale
+        iters = max(3, 2048 * 8 // ctx)
+        jobs = [(mk_fwd(bst), Q), (mk_fwd(bst_d), Q),
+                (mk_fb(bst), Q), (mk_fb(bst_d), Q)]
+        do_naive = ctx <= args.naive_max_ctx
+        if do_naive:
+            jobs.append((naive_fwd, Qn))
+        times = bench_slope(jobs, chains=(1, 3), iters=iters, reps=3)
+        sf, ff, sb, fbd = times[:4]
+        nf = times[4] * args.batch / args.naive_batch if do_naive else None
         row = {"ctx": ctx, "sparsity_vs_causal": round(float(sparsity), 3),
                "fwd_sparse_ms": round(sf * 1e3, 3),
-               "fwd_dense_ms_batch_eq": round(df_eq * 1e3, 3),
-               "fwd_speedup": round(df_eq / sf, 2),
+               "fwd_dense_flash_ms": round(ff * 1e3, 3),
+               "fwd_speedup_vs_flash": round(ff / sf, 2),
                "fwdbwd_sparse_ms": round(sb * 1e3, 3),
-               "fwdbwd_dense_ms_batch_eq": round(db_eq * 1e3, 3),
-               "fwdbwd_speedup": round(db_eq / sb, 2)}
+               "fwdbwd_dense_flash_ms": round(fbd * 1e3, 3),
+               "fwdbwd_speedup_vs_flash": round(fbd / sb, 2)}
+        if do_naive:
+            row["fwd_dense_naive_ms_batch_eq"] = round(nf * 1e3, 3)
+            row["fwd_speedup_vs_naive"] = round(nf / sf, 2)
         results["rows"].append(row)
-        print(f"{ctx:6d} {sparsity:8.3f} {sf*1e3:9.3f} {df_eq*1e3:9.3f} "
-              f"{df_eq/sf:6.2f} {sb*1e3:8.3f} {db_eq*1e3:8.3f} "
-              f"{db_eq/sb:6.2f}")
+        print(f"{ctx:6d} {sparsity:8.3f} {sf*1e3:8.3f} {ff*1e3:8.3f} "
+              f"{ff/sf:5.2f} {sb*1e3:8.3f} {fbd*1e3:8.3f} {fbd/sb:5.2f} "
+              f"{(nf or 0)*1e3:8.3f}")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -9,15 +9,16 @@ as loop-inside-jit wall time, effective TFLOP/s, and the sparse/dense
 ratio on whatever backend is active.  Writes results to
 benchmarks/results_bsmm.json for round-over-round comparison.
 
-The default batch (2048 on TPU) is deliberately large: on the benchmark
-chip anything under ~2 ms measures the scheduler floor, not the kernel
-(BENCH_NOTES.md).
+Timing is the slope method from bench.py: every kernel execution on
+the bench chip pays a fixed ~2.6-2.9 ms scheduling quantum
+(tools/tpu_floor_probe.py), so per-application time is measured as the
+slope between two chain lengths — round 2's single-application timing
+reported the quantum (~1.4 ms then) for every low-density row.
 """
 import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,24 +28,13 @@ import jax.numpy as jnp
 
 from blocksparse_tpu import BlocksparseMatMul
 from blocksparse_tpu.models.sparse_lstm import make_mask
+from bench import bench_slope
 
 
-def bench_loop(one_step, x0, iters=20, reps=3):
-    @jax.jit
-    def run(x):
-        def body(x, _):
-            return one_step(x), None
-        y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
-    y = run(x0)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = run(x0)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+def bench_loop(one_step, x0, iters=8, reps=3):
+    (t,) = bench_slope([(one_step, x0)], chains=(2, 8), iters=iters,
+                       reps=reps)
+    return t
 
 
 def make_layout(kind, nb, m, rng):

@@ -184,6 +184,53 @@ class BlocksparseConv:
             self._lutC = np.array([list(c) for c, _ in BCK], np.int32)
             self._lutK = np.array([list(k) for _, k in BCK], np.int32)
             self._flatK = self._lutK.reshape(-1)
+        else:
+            # ragged blocks: pad every block to (bKmax, bCmax); padded
+            # C entries read an appended zero input channel, padded K
+            # entries scatter into an appended junk output channel, and
+            # padded filter cells gather an appended zero weight — so
+            # one lax.scan body serves all blocks (no host unrolling;
+            # compile time is O(1) in the block count)
+            bKmax = max(len(k) for _, k in BCK)
+            bCmax = max(len(c) for c, _ in BCK)
+            self._bKmax, self._bCmax = bKmax, bCmax
+            lutC = np.full((self.blocks, bCmax), self.C, np.int32)
+            lutK = np.full((self.blocks, bKmax), self.K, np.int32)
+            fmap = np.full((self.blocks, bKmax, bCmax, self.trs),
+                           self.sizeF, np.int64)
+            offset = 0
+            for b, (listC, listK) in enumerate(BCK):
+                bC, bK = len(listC), len(listK)
+                lutC[b, :bC] = listC
+                lutK[b, :bK] = listK
+                fmap[b, :bK, :bC, :] = np.arange(
+                    bK * bC * self.trs, dtype=np.int64).reshape(
+                        bK, bC, self.trs) + offset
+                offset += bK * bC * self.trs
+            self._lutC_pad = lutC
+            self._lutK_pad = lutK
+            self._fmap_pad = fmap
+
+        # per-element row ids for ragged l2 norms: KCTRS rows are
+        # (block, k-row) over (bC, trs); CKTRS cols are (block, c-col)
+        # over (bK, trs).  Reference src/blocksparse_l2_norm_op.cc:33-198
+        # drives the same reductions with an l2_lut.
+        krow, ccol = [], []
+        self._n_krows = sum(len(k) for _, k in BCK)
+        self._n_ccols = sum(len(c) for c, _ in BCK)
+        koff = coff = 0
+        for listC, listK in BCK:
+            bC, bK = len(listC), len(listK)
+            kr = (koff + np.arange(bK, dtype=np.int64))[:, None, None]
+            krow.append(np.broadcast_to(
+                kr, (bK, bC, self.trs)).reshape(-1))
+            cc = (coff + np.arange(bC, dtype=np.int64))[None, :, None]
+            ccol.append(np.broadcast_to(
+                cc, (bK, bC, self.trs)).reshape(-1))
+            koff += bK
+            coff += bC
+        self._krow_of_elem = np.concatenate(krow)
+        self._ccol_of_elem = np.concatenate(ccol)
 
     # ---------------- shapes ----------------
 
@@ -267,18 +314,34 @@ class BlocksparseConv:
                 num_segments=self.K)
             return jnp.moveaxis(y, 0, 1).astype(I.dtype)
 
-        # ragged blocks: loop (host unrolled; block counts are small)
-        y = jnp.zeros((N, self.K) + tuple(self.MPQ), jnp.float32)
-        for b, blockF in enumerate(self._f_blocks(F)):
-            lutC, lutK = self.BCK[b]
-            x = jnp.take(I, jnp.asarray(np.array(lutC, np.int32)), axis=1)
+        # ragged blocks: one scan body over zero-padded uniform blocks
+        # (replaces the round-2 host-unrolled loop whose compile time
+        # grew linearly in the block count)
+        if isinstance(F, (list, tuple)):
+            Ff = jnp.concatenate([jnp.asarray(f).reshape(-1) for f in F])
+        else:
+            Ff = jnp.asarray(F).reshape(-1)
+        Fe = jnp.concatenate([Ff, jnp.zeros((1,), Ff.dtype)])
+        Fp = Fe[jnp.asarray(self._fmap_pad)].reshape(
+            (self.blocks, self._bKmax, self._bCmax) + tuple(self.TRS))
+        Ie = jnp.concatenate(
+            [I, jnp.zeros((N, 1) + tuple(self.DHW), I.dtype)], axis=1)
+        prec = dot_precision(I.dtype)
+
+        def body(y, args):
+            lutC, lutK, Fb = args
+            x = jnp.take(Ie, lutC, axis=1)
             o = jax.lax.conv_general_dilated(
-                x, blockF, window_strides=self.strides, padding=pad,
+                x, Fb, window_strides=self.strides, padding=pad,
                 rhs_dilation=self.dilates, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(I.dtype))
-            y = y.at[:, jnp.asarray(np.array(lutK, np.int32))].add(o)
-        return y.astype(I.dtype)
+                preferred_element_type=jnp.float32, precision=prec)
+            return y.at[:, lutK].add(o), None
+
+        y0 = jnp.zeros((N, self.K + 1) + tuple(self.MPQ), jnp.float32)
+        y, _ = jax.lax.scan(
+            body, y0, (jnp.asarray(self._lutC_pad),
+                       jnp.asarray(self._lutK_pad), Fp))
+        return y[:, :self.K].astype(I.dtype)
 
     def __call__(self, F, I):
         assert I.shape[1] == self.C
@@ -289,6 +352,11 @@ class BlocksparseConv:
     # ---------------- l2 norm (per output-channel row over C,T,R,S) ----
 
     def l2_normalize(self, F, gain=None, epsilon=1e-12, dtype=None):
+        """Per output-channel-row L2 norm over (bC, T, R, S) — KCTRS.
+        Fixed-size blocks reduce with one reshape; ragged blocks reduce
+        with a host-built per-element row map + segment_sum (reference
+        src/blocksparse_l2_norm_op.cc:33 L2NormalizeKCTRS drives the
+        same reduction through its l2_lut)."""
         if self.fixed_block_size and not isinstance(F, (list, tuple)):
             bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
             Fb = jnp.asarray(F).reshape((self.blocks, bK, -1))
@@ -300,7 +368,22 @@ class BlocksparseConv:
                 g = gain.reshape(self.blocks, bK, 1).astype(jnp.float32)
                 out = out * g
             return out.reshape(jnp.asarray(F).shape).astype(dtype or F.dtype)
-        raise NotImplementedError("l2_normalize requires fixed_block_size")
+        return self._l2_normalize_segmented(
+            F, self._krow_of_elem, self._n_krows, gain, epsilon, dtype)
+
+    def _l2_normalize_segmented(self, F, seg, nseg, gain, epsilon, dtype):
+        if isinstance(F, (list, tuple)):
+            Ff = jnp.concatenate([jnp.asarray(f).reshape(-1) for f in F])
+        else:
+            Ff = jnp.asarray(F).reshape(-1)
+        out_dtype = dtype or Ff.dtype
+        f32 = Ff.astype(jnp.float32)
+        seg = jnp.asarray(seg)
+        ssq = jax.ops.segment_sum(jnp.square(f32), seg, num_segments=nseg)
+        scale = 1.0 / jnp.sqrt(jnp.maximum(ssq, epsilon))
+        if gain is not None:
+            scale = scale * jnp.asarray(gain).reshape(-1).astype(jnp.float32)
+        return (f32 * scale[seg]).astype(out_dtype)
 
     # ---------------- NumPy goldens (reference conv.py:540-661) --------
 
@@ -467,6 +550,9 @@ class BlocksparseDeconv(BlocksparseConv):
         return self.collapse_filter(normF, dtype=np.float32)
 
     def l2_normalize(self, F, gain=None, epsilon=1e-12, dtype=None):
+        """Per input-channel-column L2 norm over (bK, T, R, S) — CKTRS
+        (reference src/blocksparse_l2_norm_op.cc:47 L2NormalizeCKTRS).
+        Ragged blocks use the per-element column map."""
         if self.fixed_block_size and not isinstance(F, (list, tuple)):
             bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
             Fb = jnp.asarray(F).reshape((self.blocks, bK, bC, -1))
@@ -478,7 +564,8 @@ class BlocksparseDeconv(BlocksparseConv):
                 g = gain.reshape(self.blocks, 1, bC, 1).astype(jnp.float32)
                 out = out * g
             return out.reshape(jnp.asarray(F).shape).astype(dtype or F.dtype)
-        raise NotImplementedError("l2_normalize requires fixed_block_size")
+        return self._l2_normalize_segmented(
+            F, self._ccol_of_elem, self._n_ccols, gain, epsilon, dtype)
 
 
 # ------------------------------------------------------------------

@@ -45,18 +45,41 @@ class recomputable:
 def gradients(fun, xs, grad_ys=None, stop_grads=None, group_aggregations=8,
               custom_matmul_grad=True, has_aux=False):
     """Functional replacement for the reference's custom ``bs.gradients``
-    (grads.py:196).
+    (grads.py:196), including its ``grad_ys`` and ``stop_grads`` args.
 
     fun: callable taking ``xs`` (a pytree) and returning a scalar loss
-         (or (loss, aux) with has_aux=True).
+         (or (loss, aux) with has_aux=True).  With ``grad_ys`` the output
+         may be any pytree of arrays.
     xs:  pytree of arrays to differentiate against.
-    Returns the grad pytree (with aux if requested).
 
-    grad_ys/stop_grads: unsupported graph-mode concepts; use jax.vjp /
-    jax.lax.stop_gradient at the call site instead.
+    grad_ys: optional cotangent pytree matching fun's output — the
+        initial dy seeded into the backward pass (reference
+        grads.py:196,217).  When given, fun need not return a scalar.
+    stop_grads: optional bool pytree (same structure as ``xs``, or a
+        prefix): True leaves are held constant — their returned grads
+        are zero and nothing flows through them (reference
+        grads.py:196,234 treats listed tensors as constants).  For
+        *intermediate* tensors use ``jax.lax.stop_gradient`` inside fun,
+        which is the same mechanism.
+
+    Returns the grad pytree (with aux if requested).
     """
-    if grad_ys is not None or stop_grads is not None:
-        raise NotImplementedError(
-            "grad_ys/stop_grads: use jax.vjp or lax.stop_gradient in the "
-            "loss function instead")
-    return jax.grad(fun, has_aux=has_aux)(xs)
+    if stop_grads is not None:
+        inner = fun
+
+        def fun(xs_, _inner=inner):
+            xs_ = jax.tree.map(
+                lambda s, x: jax.lax.stop_gradient(x) if s else x,
+                stop_grads, xs_, is_leaf=lambda s: s is None or
+                isinstance(s, bool))
+            return _inner(xs_)
+
+    if grad_ys is None:
+        return jax.grad(fun, has_aux=has_aux)(xs)
+    if has_aux:
+        _, vjp_fn, aux = jax.vjp(fun, xs, has_aux=True)
+        (gx,) = vjp_fn(grad_ys)
+        return gx, aux
+    _, vjp_fn = jax.vjp(fun, xs)
+    (gx,) = vjp_fn(grad_ys)
+    return gx

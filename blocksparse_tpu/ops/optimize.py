@@ -75,6 +75,79 @@ ClipGlobalNorm = clip_by_global_norm
 
 
 # ------------------------------------------------------------------
+# Packed 16-bit optimizer-state formats (reference mhalf/vhalf,
+# src/gpu_types.h:81-104, conversions src/ew_op_gpu.h:330-430):
+#   vhalf: 0s/6e/10m unsigned, value = 1.m * 2^(e-60), e in [0,63]
+#   mhalf: 1s/6e/9m  signed,   same exponent range
+# Magnitudes round half-up onto the mantissa grid, saturate just below
+# 16, flush to zero below 2^-60.  Stored as real uint16 (2 bytes/slot,
+# the same memory the reference's packed formats use); bfloat16 slots
+# trade 3 mantissa bits for unneeded range — the accuracy study in
+# benchmarks/opt_state_study.py records which matters in training.
+# ------------------------------------------------------------------
+
+def _pack16(x, mbits, signed):
+    f32 = jnp.float32
+    x = x.astype(f32)
+    sign = (x < 0) if signed else jnp.zeros(x.shape, bool)
+    m = jnp.abs(x)
+    max_val = float(np.float32((2.0 - 2.0 ** -mbits) * 8.0))  # < 16
+    m = jnp.minimum(m, max_val)
+    # round half-up on the relative grid (the reference's
+    # fma.rz(round_exp * 2^-(mbits+1)) + truncate); frexp/ldexp keep
+    # exponent scaling exact (XLA's exp2 = exp(x*ln2) misrounds, and
+    # log2 misrounds just below powers of two)
+    one = jnp.ones((), f32)
+    _, ex = jnp.frexp(jnp.where(m > 0, m, 1.0))   # m = f * 2^ex
+    ulp = jnp.ldexp(one, ex - 1 - mbits)
+    m = jnp.floor(m / ulp + 0.5) * ulp
+    # flush below the smallest nonzero encoding (mantissa 1 at exp 0):
+    # all-zero bits mean 0.0, so 1.0*2^-60 itself is not representable
+    # (reference thresholds 8.682e-19 / 8.690e-19, ew_op_gpu.h:379,408)
+    tiny = 2.0 ** -60 * (1.0 + 2.0 ** -mbits)
+    zero = m < tiny
+    # exponent/mantissa fields: m = (1 + mant/2^mbits) * 2^(e6 - 60)
+    _, ex = jnp.frexp(jnp.where(zero, 1.0, m))
+    e6 = jnp.clip(ex - 1 + 60, 0, 63).astype(jnp.uint32)
+    mant = jnp.round(
+        (m / jnp.ldexp(one, ex - 1) - 1.0) * (1 << mbits)).astype(jnp.uint32)
+    mant = jnp.minimum(mant, (1 << mbits) - 1)
+    u = (e6 << mbits) | mant
+    if signed:
+        u = u | (sign.astype(jnp.uint32) << 15)
+    return jnp.where(zero, 0, u).astype(jnp.uint16)
+
+
+def _unpack16(u, mbits, signed):
+    u32 = u.astype(jnp.uint32)
+    mant = (u32 & ((1 << mbits) - 1)).astype(jnp.float32)
+    e6 = ((u32 >> mbits) & 0x3F).astype(jnp.int32)
+    val = jnp.ldexp((1.0 + mant / (1 << mbits)).astype(jnp.float32),
+                    e6 - 60)
+    if signed:
+        val = jnp.where((u32 >> 15) & 1, -val, val)
+    return jnp.where(u32 == 0, 0.0, val)
+
+
+def mhalf_pack(x):
+    """f32 -> mhalf-encoded uint16 (Adam mean slots)."""
+    return _pack16(x, 9, signed=True)
+
+
+def mhalf_unpack(u):
+    return _unpack16(u, 9, signed=True)
+
+
+def vhalf_pack(x):
+    """f32 -> vhalf-encoded uint16 (Adam variance slots, unsigned)."""
+    return _pack16(x, 10, signed=False)
+
+
+def vhalf_unpack(u):
+    return _unpack16(u, 10, signed=False)
+
+
+# ------------------------------------------------------------------
 # Adam
 # ------------------------------------------------------------------
 
@@ -149,7 +222,13 @@ class AdamOptimizer:
                  grad_scale=1.0, saturate=0.0, zero_infs=False,
                  zero_nans=False, gated=False, param_qspec=None,
                  mean_qspec=None, var_qspec=None, fp16=False,
-                 zero_init_variables=False, name="Adam"):
+                 state_format=None, zero_init_variables=False, name="Adam"):
+        """state_format (for params >= 8K elements, reference
+        optimize.py:70): None/"float32" = f32 slots; "bfloat16" (or
+        fp16=True) = bf16 slots; "packed16" = the reference's
+        mhalf/vhalf uint16 formats (6-bit exponent, 9/10-bit mantissa)
+        — 2 bytes/slot with 2-3 more mantissa bits than bfloat16.  See
+        benchmarks/opt_state_study.py for the accuracy comparison."""
         self.learning_rate = learning_rate
         self.beta1, self.beta2 = beta1, beta2
         self.epsilon = epsilon
@@ -163,12 +242,17 @@ class AdamOptimizer:
         self.param_qspec = param_qspec
         self.mean_qspec = mean_qspec
         self.var_qspec = var_qspec
-        self.fp16 = fp16
+        if state_format is None:
+            state_format = "bfloat16" if fp16 else "float32"
+        assert state_format in ("float32", "bfloat16", "packed16")
+        self.state_format = state_format
+        self.fp16 = state_format != "float32"
         self.name = name
 
     def _slot_dtype(self, p):
         if self.fp16 and p.size >= 8 * 1024:
-            return jnp.bfloat16
+            return jnp.uint16 if self.state_format == "packed16" \
+                else jnp.bfloat16
         return jnp.float32
 
     def init(self, params):
@@ -193,6 +277,9 @@ class AdamOptimizer:
         from blocksparse_tpu.ops.quantize import quantize as _quantize
 
         def upd(g, p, m, v, gate=None):
+            packed = m.dtype == jnp.uint16
+            if packed:
+                m, v = mhalf_unpack(m), vhalf_unpack(v)
             p2, m2, v2 = adam_apply(
                 g, p, m, v, lr, self.beta1, self.beta2, self.epsilon,
                 gs, self.clip_sigma, ns, gate,
@@ -203,6 +290,8 @@ class AdamOptimizer:
                 m2 = _quantize(m2, self.mean_qspec)
             if self.var_qspec is not None:
                 v2 = _quantize(v2, self.var_qspec)
+            if packed:
+                m2, v2 = mhalf_pack(m2), vhalf_pack(v2)
             return p2, m2, v2
 
         if gates is None:
@@ -397,6 +486,11 @@ class Ema:
 
     def average(self, state, path_or_param):
         return state[path_or_param] if isinstance(path_or_param, str) else None
+
+    def params(self, state):
+        """The EMA-averaged parameter pytree (the state itself), for
+        eval with averaged weights (reference train.py EMA eval)."""
+        return state
 
 
 # ------------------------------------------------------------------

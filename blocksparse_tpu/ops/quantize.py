@@ -13,14 +13,21 @@ Differences from the reference:
 * stochastic rounding uses the JAX PRNG (pass ``key``) instead of the
   GPU LFSR entropy buffer;
 * the self-tuning exponent-max machinery (mode 1/2, tracked in int64
-  variables and re-estimated every ``frequency`` steps) is exposed
-  functionally: ``quantize_emax_estimate`` computes the new emax from
-  tensor stats; thread it through your train state.  mode 0 (static
-  emax) matches the reference exactly.
+  variables and re-estimated every ``frequency`` steps,
+  src/quantize_op.cc:24-55) is provided by ``QuantizeTracker``: wrap
+  the train step with ``tracker.wrap_jit`` and pass ``name=`` to
+  ``quantize`` — emax state is threaded through the jit automatically
+  (read at step start, estimates collected from both the forward and
+  the gradient stream, host applies them every ``frequency`` calls).
+  mode 0 (static emax) matches the reference exactly and needs no
+  tracker.  ``quantize_emax_estimate`` remains available for manual
+  threading.
 * ``log_stats`` emits TSV rows via jax.debug.callback.
 """
 from __future__ import annotations
 
+import functools
+import threading
 import time
 
 import numpy as np
@@ -63,19 +70,31 @@ class QuantizeSpec:
 
 
 def _format_params(ebits, fbits, emax, denorm):
-    """Biased exponent range per reference quantize_op.cc:85-101."""
+    """Biased exponent range per reference quantize_op.cc:85-101.
+
+    ``emax`` may be a Python number (compile-time constants, the static
+    mode-0 path) or a traced f32 scalar (self-tuning modes via
+    ``QuantizeTracker``)."""
     max_exp = (1 << ebits) - 1
     if ebits == 8:
         max_exp -= 1
-    bexp_max = emax + 127
-    if bexp_max < max_exp:
-        bexp_max = max_exp
-    bexp_min = bexp_max - max_exp + 1 - (fbits if denorm else 0)
-    if bexp_min < 2:
-        bexp_min = 2
-    max_float = float(np.float32(2.0 - 2.0 ** -fbits)
-                      * np.float32(2.0) ** (bexp_max - 127))
-    min_float = float(np.float32(2.0) ** (bexp_min - 127))
+    if isinstance(emax, (int, float)):
+        bexp_max = emax + 127
+        if bexp_max < max_exp:
+            bexp_max = max_exp
+        bexp_min = bexp_max - max_exp + 1 - (fbits if denorm else 0)
+        if bexp_min < 2:
+            bexp_min = 2
+        max_float = float(np.float32(2.0 - 2.0 ** -fbits)
+                          * np.float32(2.0) ** (bexp_max - 127))
+        min_float = float(np.float32(2.0) ** (bexp_min - 127))
+        return max_float, min_float, bexp_min
+    f32 = jnp.float32
+    bexp_max = jnp.maximum(emax.astype(f32) + 127.0, float(max_exp))
+    bexp_min = jnp.maximum(
+        bexp_max - max_exp + 1 - (fbits if denorm else 0), 2.0)
+    max_float = np.float32(2.0 - 2.0 ** -fbits) * jnp.exp2(bexp_max - 127.0)
+    min_float = jnp.exp2(bexp_min - 127.0)
     return max_float, min_float, bexp_min
 
 
@@ -123,13 +142,104 @@ def quantize_emax_estimate(x, spec: QuantizeSpec):
     else:
         target = jnp.max(ax)
     e = jnp.floor(jnp.log2(jnp.maximum(target, 1e-30)))
-    return (e + spec.bias_pad).astype(jnp.int32)
+    return (e + spec.bias_pad).astype(jnp.float32)
+
+
+# ------------------------------------------------------------------
+# Implicit-stateful emax tracking (reference src/quantize_op.cc:24-55:
+# exp_max lives in variables inside the op, re-estimated every
+# ``frequency`` steps).  The axon TPU runtime has no host callbacks, so
+# state is threaded through the jit *automatically* at trace time: a
+# thread-local frame collects reads (jit inputs) and estimates (jit
+# outputs); the host applies estimates at ``frequency`` granularity.
+# One-step lag vs the reference (an estimate recorded at step t is
+# usable from step t+1) — irrelevant at frequency >= 2.
+# ------------------------------------------------------------------
+
+_ctx = threading.local()
+
+
+class _TrackerFrame:
+    def __init__(self, state):
+        self.state = state        # name -> traced f32 emax (jit inputs)
+        self.estimates = {}       # name -> traced f32 emax (jit outputs)
+        self.freqs = {}           # name -> frequency (trace-time static)
+
+    def read(self, name, spec):
+        self.freqs[name] = spec.freq
+        if name in self.state:
+            return self.state[name]
+        return jnp.float32(spec.emax)
+
+    def record(self, name, est):
+        self.estimates[name] = est
+
+
+class QuantizeTracker:
+    """Holds one emax per named tensor (and one per ``name + "_grad"``
+    for tracked backward specs).  Usage::
+
+        tracker = QuantizeTracker()
+        step = tracker.wrap_jit(step_fn)        # instead of jax.jit
+        ...inside step_fn:  quantize(x, qspec, bspec, name="q0", ...)
+
+    Specs with ``mode`` 1 (max-based) or 2 (mean+stdv_mul*std) and a
+    ``name`` participate; mode-0 specs stay static.  The first call
+    traces twice (the second trace sees the discovered state entries).
+    Supported in plain jit/grad step functions; inside shard_map/vmap
+    the frame tracers cannot cross the inner trace — thread state
+    manually there (quantize_emax_estimate)."""
+
+    def __init__(self):
+        self.emax = {}      # name -> current emax (python/np/device scalar)
+        self.counts = {}
+        self._freqs = {}
+
+    def wrap_jit(self, fn, **jit_kwargs):
+        tracker = self
+
+        @functools.partial(jax.jit, **jit_kwargs)
+        def inner(emax_state, args, kwargs):
+            frame = _TrackerFrame(emax_state)
+            prev = getattr(_ctx, "frame", None)
+            _ctx.frame = frame
+            try:
+                out = fn(*args, **kwargs)
+            finally:
+                _ctx.frame = prev
+            tracker._freqs.update(frame.freqs)
+            return out, frame.estimates
+
+        def wrapped(*args, **kwargs):
+            state_in = {k: jnp.float32(v) for k, v in tracker.emax.items()}
+            out, est = inner(state_in, args, kwargs)
+            tracker._apply(est)
+            return out
+
+        return wrapped
+
+    def _apply(self, estimates):
+        for name, e in estimates.items():
+            c = self.counts.get(name, 0)
+            freq = max(int(self._freqs.get(name, 1)), 1)
+            if name not in self.emax or c % freq == 0:
+                self.emax[name] = e     # device scalar; no forced sync
+            self.counts[name] = c + 1
+
+    def emax_of(self, name):
+        """Current emax for a tracked tensor (host sync)."""
+        return float(self.emax[name])
 
 
 def quantize(x, qspec: QuantizeSpec, b_qspec: QuantizeSpec = None, name=None,
              key=None, b_key=None):
     """Quantize forward with qspec; gradients quantized with b_qspec
-    (reference quantize.py:74 + grad at :124)."""
+    (reference quantize.py:74 + grad at :124).
+
+    With a ``name`` and self-tuning specs (mode 1/2) inside a
+    ``QuantizeTracker.wrap_jit`` step, emax is read from and estimated
+    into the tracker state (forward stream under ``name``, gradient
+    stream under ``name + "_grad"``)."""
     if b_qspec is None:
         b_qspec = qspec
 
@@ -138,17 +248,35 @@ def quantize(x, qspec: QuantizeSpec, b_qspec: QuantizeSpec = None, name=None,
             assert spec.fbits <= 7, \
                 "bfloat only supports up to 7 fractional bits"
 
+    frame = getattr(_ctx, "frame", None)
+    emax_f, emax_b = qspec.emax, b_qspec.emax
+    track_b = b_qspec.mode != 0 and name is not None and frame is not None
+    if qspec.mode != 0 and name is not None and frame is not None:
+        emax_f = frame.read(name, qspec)
+        frame.record(name, quantize_emax_estimate(x, qspec))
+    if track_b:
+        emax_b = frame.read(name + "_grad", b_qspec)
+
     @jax.custom_vjp
     def _q(x):
-        return quantize_float_sim(x, qspec.ebits, qspec.fbits, qspec.emax,
+        return quantize_float_sim(x, qspec.ebits, qspec.fbits, emax_f,
                                   qspec.stoch, qspec.denorm, key)
 
     def fwd(x):
-        return _q(x), None
+        # emax_b rides the residuals: the bwd trace must not close over
+        # a forward-trace tracer
+        return _q(x), emax_b if track_b else None
 
-    def bwd(_, dy):
+    def bwd(res, dy):
+        e_b = res if res is not None else b_qspec.emax
+        if track_b:
+            # recorded at trace time into the enclosing frame: legal
+            # because jax.grad inside wrap_jit traces bwd under the
+            # same jit trace the frame belongs to
+            frame.record(name + "_grad",
+                         quantize_emax_estimate(dy, b_qspec))
         return (quantize_float_sim(dy, b_qspec.ebits, b_qspec.fbits,
-                                   b_qspec.emax, b_qspec.stoch,
+                                   e_b, b_qspec.stoch,
                                    b_qspec.denorm, b_key),)
 
     _q.defvjp(fwd, bwd)

@@ -66,3 +66,70 @@ def test_fused_cell_and_grouped_lstm():
     g = jax.grad(loss)(gp)
     assert g["kernel"].shape == gp["kernel"].shape
     assert float(jnp.abs(g["kernel"]).sum()) > 0
+
+
+def test_sparse_lstm_multilayer_depth():
+    """lsteps>1 stacks independent sparse layers (share_masks=False
+    gives each its own layout); grads flow to every layer; recompute
+    and dropout paths run (VERDICT r2 #9 depth parity with reference
+    examples/lstm/train.py hparams)."""
+    from blocksparse_tpu.models.sparse_lstm import SparseLSTM, LSTMConfig
+
+    cfg = LSTMConfig(nhidden=128, nembd=16, nproj_in=64, nproj_out=64,
+                     nsteps=8, block_size=32, mask_kind="ba_2", isteps=1,
+                     lsteps=2, share_masks=False, dropout=0.2,
+                     recompute=True, n_vocab=32)
+    model = SparseLSTM(cfg)
+    assert len(model.bsmm_layers) == 2
+    # independent layouts when share_masks=False
+    assert not np.array_equal(np.asarray(model.bsmm_layers[0].layout),
+                              np.asarray(model.bsmm_layers[1].layout))
+
+    params = model.init(jax.random.PRNGKey(0))
+    assert len(params["layers"]) == 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 32, (2, 8)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 32, (2, 8)), jnp.int32)
+
+    loss, grads = jax.value_and_grad(model.loss)(
+        params, x, y, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    for lp in grads["layers"]:
+        assert float(jnp.abs(lp["w_h"]).sum()) > 0
+
+    # deterministic eval path (no dropout key)
+    l1 = model.loss(params, x, y)
+    l2 = model.loss(params, x, y)
+    assert float(l1) == float(l2)
+
+
+def test_sparse_lstm_checkpoint_roundtrip(tmp_path):
+    """Save/restore through blocksparse_tpu.checkpoint preserves params,
+    EMA state, config, and layout sidecar (reference HParams joblib
+    round-trip, examples/lstm/layers.py:44-98)."""
+    from blocksparse_tpu.models.sparse_lstm import SparseLSTM, LSTMConfig
+    from blocksparse_tpu import checkpoint
+    from blocksparse_tpu.ops.optimize import Ema
+
+    cfg = LSTMConfig(nhidden=64, nembd=8, nproj_in=32, nproj_out=32,
+                     nsteps=4, block_size=32, mask_kind="ba_1",
+                     lsteps=2, n_vocab=16)
+    model = SparseLSTM(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ema = Ema(decay=0.9)
+    ema_state = ema.apply(params, ema.init(params))
+
+    path = str(tmp_path / "ck")
+    checkpoint.save(path, params, ema_state=ema_state, step=13,
+                    layouts=model.layouts(), config=model.config_dict())
+    tree, meta = checkpoint.restore(path)
+    assert meta["step"] == 13
+    cfg2 = LSTMConfig(**meta["config"])
+    assert cfg2.lsteps == 2 and cfg2.nhidden == 64
+    model2 = SparseLSTM(cfg2)
+    for name, lay in model2.layouts().items():
+        np.testing.assert_array_equal(lay, meta["layouts"][name])
+    r0 = np.asarray(tree["params"]["layers"][0]["w_h"])
+    np.testing.assert_allclose(r0, np.asarray(params["layers"][0]["w_h"]))
+    e0 = np.asarray(tree["ema_state"]["layers"][0]["w_h"])
+    np.testing.assert_allclose(e0, np.asarray(ema_state["layers"][0]["w_h"]))

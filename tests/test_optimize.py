@@ -269,3 +269,157 @@ def test_clip_mixed_dtypes():
     expect = np.sqrt(sum(np.sum(np.square(np.asarray(g, np.float32)))
                          for g in gs))
     np.testing.assert_allclose(float(gn), expect, rtol=1e-2)
+
+
+def test_gradients_grad_ys_and_stop_grads():
+    """bs.gradients grad_ys seeds the cotangent; stop_grads holds leaves
+    constant (reference grads.py:196)."""
+    from blocksparse_tpu.ops.grads import gradients
+
+    def f(xs):
+        return {"out": xs["a"] * 2.0 + xs["b"] ** 2}
+
+    xs = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([3.0, 4.0])}
+    dy = {"out": jnp.asarray([10.0, 100.0])}
+    g = gradients(f, xs, grad_ys=dy)
+    np.testing.assert_allclose(np.asarray(g["a"]), [20.0, 200.0])
+    np.testing.assert_allclose(np.asarray(g["b"]),
+                               [60.0, 800.0])
+
+    g = gradients(f, xs, grad_ys=dy, stop_grads={"a": True, "b": False})
+    np.testing.assert_allclose(np.asarray(g["a"]), [0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g["b"]), [60.0, 800.0])
+
+    # scalar loss path with stop_grads only
+    def loss(xs):
+        return jnp.sum(xs["a"] * xs["b"])
+    g = gradients(loss, xs, stop_grads={"a": False, "b": True})
+    np.testing.assert_allclose(np.asarray(g["a"]), [3.0, 4.0])
+    np.testing.assert_allclose(np.asarray(g["b"]), [0.0, 0.0])
+
+
+def test_quantize_tracker_self_tuning_emax():
+    """QuantizeTracker threads emax through the jit: mode-1 specs adapt
+    to tensor scale (reference src/quantize_op.cc:24-55 frequency
+    semantics; estimates apply from the next step)."""
+    from blocksparse_tpu.ops.quantize import (QuantizeSpec, QuantizeTracker,
+                                              quantize)
+
+    fwd_spec = QuantizeSpec(ebits=4, fbits=3, mode=1, frequency=1,
+                            bias_pad=0)
+    bwd_spec = QuantizeSpec(ebits=5, fbits=2, mode=1, frequency=1,
+                            bias_pad=0)
+    tracker = QuantizeTracker()
+
+    def step(x, dy):
+        def f(x):
+            return jnp.sum(quantize(x, fwd_spec, bwd_spec, name="t") * dy)
+        return jax.grad(f)(x)
+
+    wrapped = tracker.wrap_jit(step)
+    x = jnp.asarray(np.linspace(0.1, 200.0, 64), jnp.float32)
+    dy = jnp.asarray(np.linspace(0.01, 0.5, 64), jnp.float32)
+    wrapped(x, dy)
+    # after one step the tracker holds emax ~ floor(log2 200) = 7 for
+    # the forward stream and floor(log2 0.5) = -1 for the grad stream
+    assert float(tracker.emax["t"]) == 7.0
+    assert float(tracker.emax["t_grad"]) == -1.0
+
+    # second step quantizes with the tracked emax: values beyond the
+    # format max for emax=7 saturate at (2 - 2^-3) * 2^7 = 240
+    y = wrapped(x * 10.0, dy)
+    assert float(tracker.emax["t"]) == 10.0  # re-estimated (freq=1)
+    # grad equals dy quantized onto the e5f2/emax=-1 grid
+    from blocksparse_tpu.ops.quantize import quantize_float_sim
+    expect = np.asarray(quantize_float_sim(dy, 5, 2, -1))
+    np.testing.assert_allclose(np.asarray(y), expect, atol=1e-6)
+
+
+def test_quantize_tracker_frequency_gating():
+    from blocksparse_tpu.ops.quantize import (QuantizeSpec, QuantizeTracker,
+                                              quantize)
+
+    spec = QuantizeSpec(ebits=4, fbits=3, mode=1, frequency=4, bias_pad=0)
+    tracker = QuantizeTracker()
+
+    def step(x):
+        return quantize(x, spec, QuantizeSpec(ebits=8, fbits=23),
+                        name="v")
+
+    wrapped = tracker.wrap_jit(step)
+    wrapped(jnp.full((8,), 4.0))          # count 0: applied (first)
+    assert float(tracker.emax["v"]) == 2.0
+    wrapped(jnp.full((8,), 64.0))         # count 1: skipped
+    assert float(tracker.emax["v"]) == 2.0
+    wrapped(jnp.full((8,), 64.0))         # count 2: skipped
+    wrapped(jnp.full((8,), 64.0))         # count 3: skipped
+    wrapped(jnp.full((8,), 128.0))        # count 4: applied
+    assert float(tracker.emax["v"]) == 7.0
+
+
+def test_mhalf_vhalf_formats():
+    """Reference packed optimizer-state formats (src/gpu_types.h:81-104,
+    conversions src/ew_op_gpu.h:330-430): 6-bit exponent / 9-10-bit
+    mantissa, range [2^-60, ~16), round-half-up, flush-to-zero."""
+    from blocksparse_tpu.ops.optimize import (mhalf_pack, mhalf_unpack,
+                                              vhalf_pack, vhalf_unpack)
+
+    rng = np.random.RandomState(0)
+    # variance-like values (unsigned, tiny to large)
+    v = jnp.asarray(np.concatenate([
+        rng.uniform(0, 15, 256),
+        np.exp(rng.uniform(-40, 2, 256) * np.log(2.0)),
+        [0.0, 2.0 ** -60, 15.9921875, 100.0, 2.0 ** -70],
+    ]), jnp.float32)
+    rt = vhalf_unpack(vhalf_pack(v))
+    vv = np.asarray(v)
+    rr = np.asarray(rt)
+    # relative error bounded by half an ulp = 2^-11
+    mask = (vv >= 2.0 ** -59) & (vv <= 15.99)
+    rel = np.abs(rr[mask] - vv[mask]) / vv[mask]
+    assert rel.max() <= 2.0 ** -11 + 1e-7, rel.max()
+    assert rr[np.where(vv == 0.0)[0]].item() == 0.0
+    assert rr[-1] == 0.0                       # 2^-70 flushes
+    assert abs(rr[np.where(vv == 100.0)[0]].item() - 15.9921875) < 1e-4
+
+    # mean-like values (signed)
+    m = jnp.asarray(np.concatenate([
+        rng.uniform(-2, 2, 512), [0.0, -15.984375, 20.0, -20.0],
+    ]), jnp.float32)
+    rt = np.asarray(mhalf_unpack(mhalf_pack(m)))
+    mm = np.asarray(m)
+    mask = (np.abs(mm) >= 2.0 ** -59) & (np.abs(mm) <= 15.9)
+    rel = np.abs(rt[mask] - mm[mask]) / np.abs(mm[mask])
+    assert rel.max() <= 2.0 ** -10 + 1e-7, rel.max()
+    # out-of-range magnitudes saturate at the format max
+    assert rt[np.where(mm == 20.0)[0]].item() == 15.984375
+    assert rt[np.where(mm == -20.0)[0]].item() == -15.984375
+    assert (np.sign(rt) == np.sign(np.where(np.abs(mm) < 2.0 ** -60,
+                                            0.0, mm))).all()
+    # roundtrip is idempotent (grid values encode exactly)
+    rt2 = np.asarray(mhalf_unpack(mhalf_pack(jnp.asarray(rt))))
+    np.testing.assert_array_equal(rt, rt2)
+
+
+def test_adam_packed16_state():
+    """packed16 AdamOptimizer stores uint16 slots and tracks the f32
+    optimizer closely over multiple steps."""
+    from blocksparse_tpu.ops.optimize import AdamOptimizer
+
+    rng = np.random.RandomState(0)
+    p0 = {"w": jnp.asarray(rng.uniform(-1, 1, (128, 128)), jnp.float32)}
+
+    opt32 = AdamOptimizer(learning_rate=1e-2)
+    opt16 = AdamOptimizer(learning_rate=1e-2, state_format="packed16")
+    s32, s16 = opt32.init(p0), opt16.init(p0)
+    assert s16["mean"]["w"].dtype == jnp.uint16
+    assert s16["var"]["w"].dtype == jnp.uint16
+
+    pa, pb = p0, p0
+    for i in range(5):
+        g = {"w": jnp.asarray(rng.normal(0, 0.1, (128, 128)), jnp.float32)}
+        pa, s32 = opt32.apply(g, pa, s32)
+        pb, s16 = opt16.apply(g, pb, s16)
+    diff = np.abs(np.asarray(pa["w"]) - np.asarray(pb["w"])).max()
+    step = np.abs(np.asarray(p0["w"]) - np.asarray(pa["w"])).max()
+    assert diff < 0.05 * step, (diff, step)

@@ -129,11 +129,17 @@ from blocksparse_tpu.ops.optimize import (
     lazy_emb_adam_apply,
     blocksparse_adam_op,
     ema_op,
+    mhalf_pack,
+    mhalf_unpack,
+    vhalf_pack,
+    vhalf_unpack,
 )
 
 from blocksparse_tpu.ops.quantize import (
     QuantizeSpec,
+    QuantizeTracker,
     quantize,
+    quantize_emax_estimate,
     log_stats,
 )
 

@@ -572,3 +572,41 @@ def generate_cached(model: SparseTransformerLM, params, prompt, steps,
                                        sub, last_logits)
         out.append(tok[:, None])
     return jnp.concatenate(out, axis=1)
+
+
+def generate_cached_scan(model: SparseTransformerLM, params, prompt, steps,
+                         temperature=1.0, key=None):
+    """``generate_cached`` with the whole decode loop inside ONE jit
+    (lax.scan carrying the K/V caches) — the production serving shape:
+    no per-token host dispatch, XLA pipelines the token steps.  Emits
+    the same tokens as ``generate_cached`` for the same key.
+    """
+    c = model.config
+    assert c.tp == 1, "generate_cached_scan runs unsharded"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    batch, n = prompt.shape
+    assert n + steps <= c.ctx
+
+    tokens_full = jnp.zeros((batch, c.ctx), jnp.int32)
+    tokens_full = tokens_full.at[:, :n].set(prompt)
+    logits_all, caches = jax.jit(model.prefill)(params, tokens_full)
+    last_logits = logits_all[:, n - 1]
+
+    @jax.jit
+    def decode_all(caches, key, last_logits):
+        def body(carry, _):
+            caches, pos, key, last_logits = carry
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, last_logits / temperature,
+                                         axis=-1)
+            logits, caches = model.decode_forward(params, nxt, caches, pos)
+            return (caches, pos + 1, key, logits), nxt
+
+        (_, _, _, _), toks = jax.lax.scan(
+            body, (caches, jnp.asarray(n, jnp.int32), key, last_logits),
+            None, length=steps)
+        return toks
+
+    toks = decode_all(caches, key, last_logits)       # (steps, batch)
+    return jnp.concatenate([prompt, toks.T], axis=1)

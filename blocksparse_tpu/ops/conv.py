@@ -125,7 +125,11 @@ class BlocksparseConv:
 
     def __init__(self, BCK, TRS, DHW, MPQ=None, strides=(1, 1, 1),
                  dilates=(1, 1, 1), padding="SAME", debug=False,
-                 deconv=False):
+                 deconv=False, impl="conv"):
+        # impl: "conv" (vmapped XLA convs) | "matmul" (tap-chunked
+        # gathered matmul, fixed_block_size only) — see
+        # benchmarks/conv_bench.py for the measured comparison
+        self.impl = impl
         self.userTRS = list(TRS)
         for a in (TRS, DHW, MPQ, strides, dilates, padding):
             if type(a) in (tuple, list):
@@ -283,6 +287,72 @@ class BlocksparseConv:
 
     # ---------------- forward ----------------
 
+    def _conv_fwd_matmul(self, F, I):
+        """Tap-chunked gathered-matmul lowering (fixed_block_size only).
+
+        The reference's fast path is im2col per superblock onto the
+        tensor cores (src/blocksparse_conv_op.cc:261); the TPU analog
+        contracts (bC x tap-chunk) onto the MXU: channels are gathered
+        once into block order, each filter tap becomes a strided slice
+        of the padded input, and taps are concatenated in chunks of
+        ceil(128/bC) so the MXU contraction runs >= 128 deep.  One
+        batched dot per chunk; overlapping K sets resolve through the
+        same segment-sum as the conv path."""
+        N = I.shape[0]
+        bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
+        B = self.blocks
+        T, R, S = self.TRS
+        M, P, Q = self.MPQ
+        st, dil, pd = self.strides, self.dilates, self.padding
+        prec = dot_precision(I.dtype)
+
+        Fb = jnp.asarray(F).reshape((B, bK, bC, T, R, S))
+        Ig = jnp.take(I, jnp.asarray(self._lutC.reshape(-1)), axis=1)
+        Ig = Ig.reshape((N, B * bC) + tuple(self.DHW))
+
+        # pad so every tap's strided window stays in bounds
+        dims = list(self.DHW)
+        trs = [T, R, S]
+        mpq = [M, P, Q]
+        padding = [(0, 0), (0, 0)]
+        for i in range(3):
+            need = (mpq[i] - 1) * st[i] + (trs[i] - 1) * dil[i] + 1
+            padding.append((pd[i], max(need - dims[i] - pd[i], pd[i])))
+        Ipad = jnp.pad(Ig, padding)
+        pdim = [padding[2 + i][0] + dims[i] + padding[2 + i][1]
+                for i in range(3)]
+
+        taps = [(t, r, s) for t in range(T) for r in range(R)
+                for s in range(S)]
+        chunk = max(1, -(-128 // bC))
+        npix = M * P * Q
+        y = jnp.zeros((N, B, bK, npix), jnp.float32)
+        for i in range(0, len(taps), chunk):
+            grp = taps[i:i + chunk]
+            xs = []
+            for (t, r, s) in grp:
+                start = (0, 0, t * dil[0], r * dil[1], s * dil[2])
+                limit = (N, B * bC,
+                         t * dil[0] + (M - 1) * st[0] + 1,
+                         r * dil[1] + (P - 1) * st[1] + 1,
+                         s * dil[2] + (Q - 1) * st[2] + 1)
+                sl = jax.lax.slice(Ipad, start, limit,
+                                   (1, 1, st[0], st[1], st[2]))
+                xs.append(sl.reshape(N, B, bC, npix))
+            xc = jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
+            fc = jnp.concatenate(
+                [Fb[:, :, :, t, r, s] for (t, r, s) in grp], axis=2) \
+                if len(grp) > 1 else Fb[:, :, :, grp[0][0], grp[0][1],
+                                        grp[0][2]]
+            y = y + jnp.einsum("bkc,nbcp->nbkp", fc, xc,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+        y = jnp.moveaxis(y.reshape(N, B * bK, npix), 1, 0)
+        y = jax.ops.segment_sum(y, jnp.asarray(self._flatK),
+                                num_segments=self.K)
+        return jnp.moveaxis(y, 0, 1).reshape(
+            (N, self.K) + tuple(self.MPQ)).astype(I.dtype)
+
     def _conv_fwd(self, F, I):
         """I: (N, C, D, H, W); returns (N, K, M, P, Q)."""
         N = I.shape[0]
@@ -291,6 +361,9 @@ class BlocksparseConv:
             (N, 1, *self.DHW), (1, 1, *self.TRS),
             ("NCDHW", "OIDHW", "NCDHW"))
 
+        if self.fixed_block_size and getattr(self, "impl", "conv") \
+                == "matmul":
+            return self._conv_fwd_matmul(F, I)
         if self.fixed_block_size:
             bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
             Fb = jnp.asarray(F).reshape((self.blocks, bK, bC)

@@ -76,7 +76,7 @@ class BlocksparseMatMul:
 
     def __init__(self, layout, block_size=32, feature_axis=0, z_order=True,
                  name=None, impl=None, tile_n=None, w_layout="blocks",
-                 mode="auto"):
+                 mode="auto", dense_tile_G=None):
         """w_layout="fprop_packed" stores weights in fprop schedule order
         (zero padding blocks included): the fprop weight panels become a
         free reshape instead of a gather — about 3 fewer W-sized HBM
@@ -205,9 +205,11 @@ class BlocksparseMatMul:
             # row clustering raises fill (union-minimizing groups); the
             # kernel wrapper gathers rows back to canonical order
             fprop_dt = build_dense_tile_schedule(fprop_rows, KB, block_size,
-                                                 blocks, cluster=True)
+                                                 blocks, G=dense_tile_G,
+                                                 cluster=True)
             bprop_dt = build_dense_tile_schedule(bprop_rows, CB, block_size,
-                                                 blocks, cluster=True)
+                                                 blocks, G=dense_tile_G,
+                                                 cluster=True)
             updat_dt = build_updat_dense_tile_schedule(updat_list, CB,
                                                        block_size)
 

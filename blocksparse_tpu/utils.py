@@ -104,16 +104,29 @@ def set_entropy(init=None):
     global _g_entropy_key
     if init is None:
         init = np.random.randint(0, 2 ** 31 - 1)
-    _g_entropy_key = jax.random.PRNGKey(int(init))
+    # ensure_compile_time_eval: PRNGKey is internally jitted, so calling
+    # it during a trace would inline to a TRACER of that trace — storing
+    # that in the global breaks every later trace
+    with jax.ensure_compile_time_eval():
+        _g_entropy_key = jax.random.PRNGKey(int(init))
+
+
+_g_entropy_counter = 0
 
 
 def get_entropy():
-    """Return a fresh PRNG key, advancing the global stream."""
-    global _g_entropy_key
+    """Return a fresh PRNG key, advancing the global stream.
+
+    The global key stays CONCRETE: deriving via fold_in with a host
+    counter (instead of storing split results) keeps tracers from
+    leaking into the global when called during a jit trace — storing a
+    traced key breaks every later trace (UnexpectedTracerError)."""
+    global _g_entropy_key, _g_entropy_counter
     if _g_entropy_key is None:
         set_entropy()
-    _g_entropy_key, sub = jax.random.split(_g_entropy_key)
-    return sub
+    _g_entropy_counter += 1
+    with jax.ensure_compile_time_eval():
+        return jax.random.fold_in(_g_entropy_key, _g_entropy_counter)
 
 
 def scalar_constant(value, dtype=jnp.float32, name=None):

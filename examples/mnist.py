@@ -29,7 +29,8 @@ from blocksparse_tpu.ops.transformer import masked_softmax, \
     softmax_cross_entropy
 from blocksparse_tpu.ops.norms import layer_norm
 from blocksparse_tpu.ops.ewops import fast_gelu
-from blocksparse_tpu.ops.quantize import QuantizeSpec, quantize
+from blocksparse_tpu.ops.quantize import (QuantizeSpec, QuantizeTracker,
+                                          quantize)
 from blocksparse_tpu.ops.optimize import AdamOptimizer
 
 
@@ -88,8 +89,11 @@ def main():
     optm = AdamOptimizer(learning_rate=1e-3)
     state = optm.init(params)
     qspecs = make_qspecs(args.quantize)
+    # self-tuning emax (mode=1 specs): the tracker threads per-tensor
+    # emax state through the jit automatically — no caller-side state
+    # (reference src/quantize_op.cc:24-55 implicit variables)
+    tracker = QuantizeTracker()
 
-    @jax.jit
     def step(params, state, x, y, key):
         x = x.reshape(-1, 16, 49).reshape(-1, 784)  # 16 patches of 49
         xp = x.reshape(-1, 16, 49)
@@ -106,6 +110,8 @@ def main():
         params, state = optm.apply(grads, params, state, norm_scale=ns)
         return params, state, loss
 
+    step = tracker.wrap_jit(step)
+
     def model_apply_patches(p, h, qspecs, keys):
         fwd_spec, bwd_spec = qspecs if qspecs[0] is not None else (None, None)
         D = h.shape[-1]
@@ -116,8 +122,10 @@ def main():
             k = a @ layer["wk"]
             v = a @ layer["wv"]
             if fwd_spec is not None:
-                q = quantize(q, fwd_spec, bwd_spec, key=keys[2 * l])
-                k = quantize(k, fwd_spec, bwd_spec, key=keys[2 * l + 1])
+                q = quantize(q, fwd_spec, bwd_spec, name=f"q{l}",
+                             key=keys[2 * l])
+                k = quantize(k, fwd_spec, bwd_spec, name=f"k{l}",
+                             key=keys[2 * l + 1])
             w = jnp.einsum("ntd,nsd->nts", q, k) / np.sqrt(D)
             pr = masked_softmax(w)
             h = h + jnp.einsum("nts,nsd->ntd", pr, v) @ layer["wo"]

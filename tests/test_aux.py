@@ -62,7 +62,7 @@ def test_sparse_lstm_model():
     loss1 = float(m.loss(params, x, x))
     assert np.isfinite(loss1)
     g = jax.grad(m.loss)(params, x, x)
-    assert float(jnp.abs(g["w_h"]).sum()) > 0
+    assert float(jnp.abs(g["layers"][0]["w_h"]).sum()) > 0
     assert float(jnp.abs(g["wte"]).sum()) > 0
 
 

@@ -274,3 +274,56 @@ def test_conv_ragged_many_blocks_compile():
     dt = time.time() - t0
     assert y.shape == tuple(bsc.o_shape(N))
     assert dt < 120, f"ragged conv compile took {dt:.1f}s"
+
+
+@pytest.mark.parametrize("stride,dilate", [(1, 1), (2, 1), (1, 2)])
+def test_conv_matmul_impl(stride, dilate):
+    """Tap-chunked gathered-matmul lowering matches the goldens
+    (fprop + both grads), incl. strided and dilated convs."""
+    N, C, K = 2, 8, 8
+    BCK = make_bck(4, 4, 4, C, K, seed=9)
+    bsc = BlocksparseConv(BCK, (3, 3), (12, 12), strides=(stride, stride),
+                          dilates=(dilate, dilate), padding="SAME",
+                          impl="matmul")
+    F_blocks = [np.random.uniform(-1, 1, bsc.f_shape(b)[:2] + bsc.TRS)
+                .astype(np.float32) for b in range(bsc.blocks)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, bsc.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsc.o_shape(N)).astype(np.float32)
+
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)
+
+    def loss(f, x):
+        return jnp.sum(bsc(f, x) * jnp.asarray(E))
+
+    dF, dI = jax.grad(loss, argnums=(0, 1))(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(dI), bsc.bprop_test(F_blocks, E),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dF).reshape(-1),
+                               bsc.updat_test(E, I), rtol=1e-3, atol=1e-4)
+
+
+def test_conv_matmul_impl_overlap_k_3d():
+    """matmul impl with overlapping K sets (segment-sum path) and a
+    3-D conv."""
+    BCK = [((0, 1, 2, 3), (0, 1, 2)), ((4, 5, 6, 7), (2, 3, 4)),
+           ((0, 2, 4, 6), (3, 4, 5))]
+    bsc = BlocksparseConv(BCK, (3, 3), (8, 8), padding="SAME",
+                          impl="matmul")
+    F_blocks = [np.random.uniform(-1, 1, [3, 4] + bsc.TRS).astype(np.float32)
+                for _ in range(3)]
+    I = np.random.uniform(-1, 1, bsc.i_shape(2)).astype(np.float32)
+    y = bsc(jnp.asarray(np.stack(F_blocks)), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)
+
+    bsc3 = BlocksparseConv(make_bck(3, 4, 4, 8, 8, seed=4), (3, 3, 3),
+                           (6, 6, 6), padding="SAME", impl="matmul")
+    F3 = [np.random.uniform(-1, 1, bsc3.f_shape(b)[:2] + bsc3.TRS)
+          .astype(np.float32) for b in range(bsc3.blocks)]
+    I3 = np.random.uniform(-1, 1, bsc3.i_shape(2)).astype(np.float32)
+    y3 = bsc3(jnp.asarray(np.stack(F3)), jnp.asarray(I3))
+    np.testing.assert_allclose(np.asarray(y3), bsc3.fprop_test(F3, I3),
+                               rtol=1e-3, atol=1e-4)

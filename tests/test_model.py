@@ -176,3 +176,25 @@ def test_train_step_sharded_dp_tp_sp(sp_mode):
     # params moved and stayed finite
     assert not np.allclose(np.asarray(p1["wte"]), np.asarray(params["wte"]))
     assert np.isfinite(np.asarray(p1["wte"])).all()
+
+
+def test_generate_cached_scan_matches_loop():
+    """The one-jit scanned decode path emits the same tokens as the
+    per-token jit loop (same key stream)."""
+    from blocksparse_tpu.models.sparse_transformer import (
+        SparseTransformerLM, TransformerConfig, generate_cached,
+        generate_cached_scan)
+
+    c = TransformerConfig(n_vocab=64, n_embd=64, n_layer=2, n_head=2,
+                          ctx=128, blk_size=16, attn_layout="fixed",
+                          local_blocks=3, mlp_block_size=16,
+                          mlp_density=0.6, dtype="float32",
+                          recompute=False)
+    m = SparseTransformerLM(c)
+    params = m.init(jax.random.PRNGKey(0))
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(0, 64, (2, 10)), jnp.int32)
+    key = jax.random.PRNGKey(11)
+    t1 = np.asarray(generate_cached(m, params, prompt, 8, key=key))
+    t2 = np.asarray(generate_cached_scan(m, params, prompt, 8, key=key))
+    np.testing.assert_array_equal(t1, t2)

@@ -127,18 +127,21 @@ def bsmm_bench():
     nb = hidden // bsize
     rng = np.random.RandomState(0)
 
-    def build(kind):
-        lay = make_layout(kind, nb, density, rng)
-        bsmm = BlocksparseMatMul(lay, block_size=bsize, feature_axis=0,
+    def build(kind, bsz):
+        lay = make_layout(kind, hidden // bsz, density, rng)
+        bsmm = BlocksparseMatMul(lay, block_size=bsz, feature_axis=0,
                                  impl="pallas" if on_tpu else "xla",
                                  w_layout="fprop_packed")
         Wc = rng.uniform(-0.1, 0.1,
-                         (bsmm.blocks, bsize, bsize)).astype(np.float32)
+                         (bsmm.blocks, bsz, bsz)).astype(np.float32)
         W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
         return bsmm, W
 
-    bs_rand, W_rand = build("random")
-    bs_band, W_band = build("banded")
+    bs_rand, W_rand = build("random", bsize)
+    bs_band, W_band = build("banded", bsize)
+    # structured headline at b64: coarser blocks cut the rectangle
+    # padding (R=2 groups -> ~0.98 structural ceiling vs 0.93 at b32)
+    bs_b64, W_b64 = build("banded", 64)
     x0 = jnp.asarray(rng.uniform(-1, 1, bs_rand.i_shape(N)), dtype)
     Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
 
@@ -147,9 +150,10 @@ def bsmm_bench():
             Wd, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
 
-    dt_rand, dt_band, dt_dense = bench_slope([
+    dt_rand, dt_band, dt_b64, dt_dense = bench_slope([
         (lambda x: bs_rand(x, W_rand).astype(dtype), x0),
         (lambda x: bs_band(x, W_band).astype(dtype), x0),
+        (lambda x: bs_b64(x, W_b64).astype(dtype), x0),
         (dense_step, x0),
     ])
 
@@ -181,8 +185,16 @@ def bsmm_bench():
         # density-scaled roofline: ideal time = d * t_dense
         return eff, (d_eff * dt_dense) / dt
 
+    def fractions64(bsmm, dt):
+        fl = 2 * bsmm.blocks * 64 * 64 * N
+        eff = fl / dt / 1e12
+        nb64 = hidden // 64
+        d_eff = bsmm.blocks / (nb64 * nb64)
+        return eff, (d_eff * dt_dense) / dt
+
     eff_rand, frac_rand = fractions(bs_rand, dt_rand)
     eff_band, frac_band = fractions(bs_band, dt_band)
+    eff_b64, frac_b64 = fractions64(bs_b64, dt_b64)
     # bandwidth-aware achievable fraction (round-2 metric, kept for
     # continuity): ideal = max(compute, bytes / measured BW)
     dense_bytes = (hidden * hidden + 2 * hidden * N) * isz + hidden * N * 4
@@ -206,6 +218,9 @@ def bsmm_bench():
             "banded_ms": round(dt_band * 1e3, 4),
             "banded_flops_roofline_fraction": round(float(frac_band), 4),
             "banded_eff_tflops": round(float(eff_band), 2),
+            "banded_b64_ms": round(dt_b64 * 1e3, 4),
+            "banded_b64_flops_roofline_fraction": round(float(frac_b64), 4),
+            "banded_b64_eff_tflops": round(float(eff_b64), 2),
             "fwd_bwd_sparse_ms": round(dt_rand_fb * 1e3, 4),
             "fwd_bwd_dense_ms": round(dt_dense_fb * 1e3, 4),
             "fwd_bwd_sparse_vs_dense": round(dt_dense_fb / dt_rand_fb, 3),

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Sparse LSTM train-step throughput.
+
+The reference's LSTM example logs ~6.4-6.9 it/s at its defaults
+(nhidden 1120, ba_10 layout, nsteps 64, batch 128 per GPU, isteps 5 —
+/root/reference/examples/lstm/train.py:330-368, on 4 GPUs).  This
+measures the TPU re-make's full train step (fwd+bwd+Adam+EMA) at the
+same model shape on ONE chip, slope-timed (see bench.py), exercising
+the scan-accumulated shared-weight dw path (the reference's
+group_param_grads DWA chains, matmul.py:612-731 — here the dw
+accumulation is the lax.scan carry).
+
+Writes benchmarks/results_lstm.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import blocksparse_tpu as bs
+from blocksparse_tpu.models.sparse_lstm import SparseLSTM, LSTMConfig
+from blocksparse_tpu.ops.optimize import AdamOptimizer, Ema
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = LSTMConfig(
+        nhidden=1120 if on_tpu else 128, nsteps=64 if on_tpu else 8,
+        mask_kind="ba_10" if on_tpu else "ba_2",
+        isteps=5 if on_tpu else 1, nproj_in=512, nproj_out=512)
+    batch = 128 if on_tpu else 4
+    model = SparseLSTM(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optm = AdamOptimizer(learning_rate=1e-3, zero_nans=True)
+    state = optm.init(params)
+    ema = Ema(decay=0.999)
+    ema_state = ema.init(params)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randint(0, 256, (batch, cfg.nsteps)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 256, (batch, cfg.nsteps)), jnp.int32)
+
+    @jax.jit
+    def step(params, state, ema_state, x, y):
+        loss, grads = jax.value_and_grad(model.loss)(params, x, y)
+        gn, ns = bs.clip_by_global_norm(jax.tree_util.tree_leaves(grads),
+                                        clip_norm=1.0)
+        params, state = optm.apply(grads, params, state, norm_scale=ns)
+        ema_state = ema.apply(params, ema_state)
+        return params, state, ema_state, loss
+
+    # slope timing over chained steps (params feed forward)
+    def run(n):
+        p, s, e = params, state, ema_state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, s, e, loss = step(p, s, e, x, y)
+        jax.block_until_ready(loss)
+        return time.perf_counter() - t0
+
+    run(1)                                     # compile
+    n1, n2 = (4, 16) if on_tpu else (1, 3)
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
+    dt = (t2 - t1) / (n2 - n1)
+
+    res = {
+        "nhidden": cfg.nhidden, "nsteps": cfg.nsteps, "batch": batch,
+        "isteps": cfg.isteps, "mask": cfg.mask_kind,
+        "blocks": model.bsmm_h.blocks,
+        "density": round(float(model.bsmm_h.sparsity), 4),
+        "step_ms": round(dt * 1e3, 2),
+        "it_per_s": round(1.0 / dt, 2),
+        "reference_log_it_per_s": "6.4-6.9 (4 GPUs, train.py:330-368)",
+        "backend": jax.default_backend(),
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_lstm.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

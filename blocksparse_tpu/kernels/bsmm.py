@@ -892,34 +892,42 @@ def _refine_swaps_py(sup, R, perm, passes=2):
 
 # Per-grid-step fixed cost in MXU-lane-equivalents (DMA issue + scalar
 # control + accumulator touch), used to trade chunk width G against step
-# count.  Fitted on the v5e bench chip across block sizes
-# (tools/tpu_chunk_sweep.py): at b32 G=8 beat G=4 by ~9% at equal slot
-# counts (8192^2/d0.25) and 768-deep chunks beat 512 by ~5%; at b16
-# (8192^2/d0.018) measured order is G=32 (1.66 ms) < G=16 (1.72) <
-# G=48 (1.87) — 128 is the smallest overhead that reproduces every
-# measured winner with the clustered union sizes.
-STEP_OVERHEAD_LANES = 128
+# count.  Round-3 re-fit with SLOPE timing (tools/tpu_g_refit.py,
+# benchmarks/results_g_refit.json — the round-2 value 128 was fitted to
+# quantum-polluted data, BENCH_NOTES round-3): solving
+#   t = a*steps + b*slots + passes*t_pass
+# across banded-b32 G in {4,8,24} at 8192^2/N2048 gives a ~= 0.14 us
+# per step ~= 52 lanes at the measured 193 TF/s, with the per-slot DMA
+# term fully hidden by the auto-pipeline (b ~= 0.008 us/slot).
+STEP_OVERHEAD_LANES = 52
 
 
 def choose_dense_tile_G(bsize: int, union_sizes) -> int:
-    """Pick the contraction slot count per chunk: wide chunks (up to 768
-    deep) amortize per-step overhead, but pad the last chunk of each
-    group's union to a G multiple.  Measured (tools/tpu_chunk_sweep.py,
-    8192^2/b32/d0.25/bf16/N=2048): 768-deep chunks beat 512 by ~5%
-    (450 vs 670 grid steps); TN halving costs ~30%, so the VMEM fit at
-    TN=2048/bf16 (13.0 MB) stays within the wrapper's 13.6 MB budget,
-    and at f32 (already TN-halved at 512 depth) 768 still wins."""
-    best_g, best_cost = max(1, CONTRACT // bsize), None
-    for L in (768, 512, 256, 128):
-        G = L // bsize
-        if G < 1:
-            continue
-        slots = sum(max(1, -(-u // G)) * G for u in union_sizes)
-        steps = sum(max(1, -(-u // G)) for u in union_sizes)
-        cost = slots * bsize + steps * STEP_OVERHEAD_LANES
+    """Pick the contraction slot count per chunk.
+
+    Cost model per group: ceil(union/G) grid steps; each step's MXU
+    time is its contraction depth QUANTIZED to 128 lanes (the MXU pads
+    partial passes — a 704-deep dot costs the same 6 passes as 768),
+    plus a fixed per-step overhead.  Wide chunks amortize overhead but
+    pad the union to a G multiple; depth is capped at 768 (VMEM fit at
+    TN=2048/bf16 within the wrapper's budget — measured round 2, and
+    768 beat 512 by ~5% at 8192^2/b32/d0.25).  All G in range are
+    candidates (round 2 tried only {768,512,256,128}/bsize, which
+    wastes a full extra pass per step on layouts whose unions sit just
+    above a pass boundary — e.g. banded b32 union 66)."""
+    u = np.asarray([max(int(x), 1) for x in union_sizes], np.int64)
+    g_max = max(1, 768 // bsize)
+    best_g, best_cost = g_max, None
+    for G in range(1, g_max + 1):
+        ch = np.maximum(1, -(-u // G))
+        # every chunk (incl. the group's last, zero-padded to G) runs a
+        # full (M, G*b) dot; depth quantizes to 128-lane passes
+        depth_lanes = -(-(G * bsize) // CONTRACT) * CONTRACT
+        steps = int(ch.sum())
+        cost = steps * depth_lanes + steps * STEP_OVERHEAD_LANES
         if best_cost is None or cost < best_cost:
             best_g, best_cost = G, cost
-    return best_g
+    return int(best_g)
 
 
 def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,

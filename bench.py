@@ -64,7 +64,14 @@ def _fresh_pool(x0, reps, seed=17):
 def chain_timer(one_step, x0, chain, iters=8, reps=3):
     """Compile + warm a runner whose scan body applies one_step `chain`
     times (data-dependent); returns a zero-arg timer giving seconds per
-    scan iteration (= quantum + chain * t_app)."""
+    scan iteration (= quantum + chain * t_app).
+
+    The returned output is inflated to >= ~128 MB: the bench tunnel
+    memoizes repeat executions of small-output executables EVEN WITH
+    fresh arguments (the round-2 attention-sweep failure mode,
+    BENCH_NOTES.md), while large-output workloads execute for real.
+    The tile write is a once-per-call constant, so it cancels in the
+    two-chain slope."""
     @jax.jit
     def run(x):
         def body(x, _):
@@ -72,7 +79,9 @@ def chain_timer(one_step, x0, chain, iters=8, reps=3):
                 x = one_step(x)
             return x, None
         y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
+        flat = y.reshape(-1)
+        rep_n = max(1, int(128 * 1024 * 1024 // max(flat.nbytes, 1)))
+        return jnp.tile(flat, rep_n) if rep_n > 1 else y
 
     jax.block_until_ready(run(x0))
     pool = _fresh_pool(x0, reps, seed=chain)

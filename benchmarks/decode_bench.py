@@ -49,23 +49,41 @@ def main():
     key = jax.random.PRNGKey(3)
 
     # scanned cached decode: slope between two step counts cancels
-    # prefill + quantum
+    # prefill + quantum.  AOT-compile, then time the FIRST execution of
+    # each executable — the tunnel memoizes repeat executions of
+    # small-output executables even with fresh args (BENCH_NOTES.md).
     s1, s2 = (16, 64) if on_tpu else (2, 8)
+    ctx_half = int(prompt.shape[1])
+    tokens_full = jnp.zeros((1, ctx), jnp.int32).at[:, :ctx_half] \
+        .set(prompt)
+    logits_all, caches = jax.jit(model.prefill)(params, tokens_full)
+    last_logits = logits_all[:, ctx_half - 1]
 
-    def timed_gen(steps, reps=3):
-        out = generate_cached_scan(model, params, prompt, steps, key=key)
-        jax.block_until_ready(out)          # compile (prefill + scan)
-        best = float("inf")
-        for r in range(reps):
-            kr = jax.random.fold_in(key, r)
-            t0 = time.perf_counter()
-            out = generate_cached_scan(model, params, prompt, steps,
-                                       key=kr)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def make_decode(steps):
+        def decode_all(caches, key, last_logits):
+            def body(carry, _):
+                caches, pos, key, last = carry
+                key, sub = jax.random.split(key)
+                nxt = jax.random.categorical(sub, last, axis=-1)
+                logits, caches = model.decode_forward(params, nxt,
+                                                      caches, pos)
+                return (caches, pos + 1, key, logits), nxt
+            (caches, _, _, _), toks = jax.lax.scan(
+                body, (caches, jnp.asarray(ctx_half, jnp.int32), key,
+                       last_logits), None, length=steps)
+            # large output defeats the tunnel's memoization; written
+            # once per call, cancels in the slope
+            return toks, jax.tree_util.tree_map(lambda a: a, caches)
+        return decode_all
 
-    t1, t2 = timed_gen(s1), timed_gen(s2)
+    def time_first(steps):
+        c = jax.jit(make_decode(steps)).lower(
+            caches, key, last_logits).compile()
+        t0 = time.perf_counter()
+        jax.block_until_ready(c(caches, key, last_logits))
+        return time.perf_counter() - t0
+
+    t1, t2 = time_first(s1), time_first(s2)
     dt_scan = (t2 - t1) / (s2 - s1)
 
     # unscanned loop (per-token jit dispatch) for the overhead record

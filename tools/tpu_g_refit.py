@@ -53,12 +53,13 @@ def main():
             S = int(sched.num_chunks)
             slots = S * int(sched.G)
             fl = 2 * bsmm.blocks * bsize * bsize * N
+            R = int(sched.R)
             row = {"kind": kind, "bsize": bsize,
                    "density": round(bsmm.blocks / (nb * nb), 4), "G": G,
                    "steps": S, "slots": slots,
                    "ms": round(dt * 1e3, 4),
                    "eff_tflops": round(fl / dt / 1e12, 2),
-                   "fill": round(bsmm.blocks / slots, 4)}
+                   "fill": round(bsmm.blocks / (R * slots), 4)}
             out["rows"].append(row)
             print(row, flush=True)
             del bsmm, W, x0

@@ -360,14 +360,19 @@ class BlocksparseConv:
         dn = jax.lax.conv_dimension_numbers(
             (N, 1, *self.DHW), (1, 1, *self.TRS),
             ("NCDHW", "OIDHW", "NCDHW"))
+        # f32 accumulation only for f32 inputs: with bf16 operands a
+        # preferred_element_type of f32 makes the conv TRANSPOSE see
+        # (dy f32, operand bf16) and lax rejects mixed dtypes; the MXU
+        # accumulates in f32 internally for bf16 convs regardless
+        acc = jnp.float32 if I.dtype == jnp.float32 else None
 
         if self.fixed_block_size and getattr(self, "impl", "conv") \
                 == "matmul":
             return self._conv_fwd_matmul(F, I)
         if self.fixed_block_size:
             bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
-            Fb = jnp.asarray(F).reshape((self.blocks, bK, bC)
-                                        + tuple(self.TRS))
+            Fb = jnp.asarray(F).astype(I.dtype).reshape(
+                (self.blocks, bK, bC) + tuple(self.TRS))
             Ig = jnp.take(I, jnp.asarray(self._lutC).reshape(-1), axis=1)
             Ig = Ig.reshape((N, self.blocks, bC) + tuple(self.DHW))
             Ig = jnp.moveaxis(Ig, 1, 0)          # (blocks, N, bC, D, H, W)
@@ -378,7 +383,7 @@ class BlocksparseConv:
                 return jax.lax.conv_general_dilated(
                     x, f, window_strides=self.strides, padding=pad,
                     rhs_dilation=self.dilates, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32, precision=prec)
+                    preferred_element_type=acc, precision=prec)
             out = jax.vmap(one)(Ig, Fb)          # (blocks, N, bK, M, P, Q)
             out = jnp.moveaxis(out, 1, 0).reshape(
                 (N, self.blocks * bK) + tuple(self.MPQ))
@@ -407,8 +412,8 @@ class BlocksparseConv:
             o = jax.lax.conv_general_dilated(
                 x, Fb, window_strides=self.strides, padding=pad,
                 rhs_dilation=self.dilates, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-            return y.at[:, lutK].add(o), None
+                preferred_element_type=acc, precision=prec)
+            return y.at[:, lutK].add(o.astype(jnp.float32)), None
 
         y0 = jnp.zeros((N, self.K + 1) + tuple(self.MPQ), jnp.float32)
         y, _ = jax.lax.scan(

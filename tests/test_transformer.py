@@ -541,3 +541,35 @@ def test_resident_budget_excludes_known_failing_config():
 
     assert _resident_fits(64, 8192, 2) is False
     assert _resident_fits(64, 4096, 2) is True
+
+
+def test_fused_bwd_long_ctx_large_bh_compiles():
+    """VERDICT r2 #4: fused attention backward must compile (and run)
+    at ctx 8192 / batch*heads 64 — the residency-budget fix routes this
+    config to the streaming kernels (resident mode overflows Mosaic's
+    16 MB scoped vmem there).  Full-size on real TPU (BS_TEST_TPU=1);
+    a scaled-down shape with the same streaming path on CPU interpret."""
+    import os
+    from blocksparse_tpu.models.sparse_transformer import (
+        fixed_layout, causal_subblock_mask)
+
+    on_tpu = bool(os.environ.get("BS_TEST_TPU"))
+    ctx, bs, heads, batch, hs = \
+        (8192, 64, 8, 8, 64) if on_tpu else (512, 32, 2, 2, 32)
+    lay = fixed_layout(ctx // bs, local_blocks=4)
+    bst = BlocksparseTransformer(lay, block_size=bs, heads=heads,
+                                 mask_callback=causal_subblock_mask)
+    state = heads * hs
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    Q = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, ctx, state)), dt)
+
+    def loss(q):
+        y = bst.attention(q, q, q, scale=1.0 / np.sqrt(hs),
+                          use_fused=True)
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    g = jax.jit(jax.grad(loss))(Q)
+    jax.block_until_ready(g)
+    assert g.shape == Q.shape
+    assert bool(jnp.isfinite(jnp.sum(g.astype(jnp.float32))))

@@ -44,7 +44,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ctxs", type=str,
                    default="2048,4096,8192,16384" if on_tpu else "256")
-    p.add_argument("--batch", type=int, default=2 if on_tpu else 1)
+    p.add_argument("--batch", type=int, default=8 if on_tpu else 1)
     p.add_argument("--naive_batch", type=int, default=1)
     p.add_argument("--naive_max_ctx", type=int, default=8192)
     p.add_argument("--heads", type=int, default=8 if on_tpu else 2)
@@ -111,16 +111,21 @@ def main():
                 return (q * 0.999 + 1e-6 * dq).astype(dtype)
             return step
 
-        iters = max(3, 2048 * 8 // ctx)
+        iters = max(4, 2048 * 16 // ctx) if on_tpu else 2
+        chains = (4, 16) if on_tpu else (1, 3)
         jobs = [(mk_fwd(bst), Q), (mk_fwd(bst_d), Q),
                 (mk_fb(bst), Q), (mk_fb(bst_d), Q)]
         do_naive = ctx <= args.naive_max_ctx
         if do_naive:
             jobs.append((naive_fwd, Qn))
-        times = bench_slope(jobs, chains=(1, 3), iters=iters, reps=3)
+        times, anchor = bench_slope(jobs, chains=chains, iters=iters,
+                                    reps=3, with_anchor=True,
+                                    retries=3 if on_tpu else 0)
         sf, ff, sb, fbd = times[:4]
         nf = times[4] * args.batch / args.naive_batch if do_naive else None
         row = {"ctx": ctx, "sparsity_vs_causal": round(float(sparsity), 3),
+               "anchor_ms": anchor["anchor_ms"],
+               "timing_valid": anchor["timing_valid"],
                "fwd_sparse_ms": round(sf * 1e3, 3),
                "fwd_dense_flash_ms": round(ff * 1e3, 3),
                "fwd_speedup_vs_flash": round(ff / sf, 2),

@@ -9,11 +9,10 @@ as loop-inside-jit wall time, effective TFLOP/s, and the sparse/dense
 ratio on whatever backend is active.  Writes results to
 benchmarks/results_bsmm.json for round-over-round comparison.
 
-Timing is the slope method from bench.py: every kernel execution on
-the bench chip pays a fixed ~2.6-2.9 ms scheduling quantum
-(tools/tpu_floor_probe.py), so per-application time is measured as the
-slope between two chain lengths — round 2's single-application timing
-reported the quantum (~1.4 ms then) for every low-density row.
+Timing is the anchor-validated slope method from bench.py (shared-
+tenant contention shows up in a known-cost anchor; invalid windows are
+re-timed) — round 2's single-application timing reported the
+contention quantum (~1.4 ms then) for every low-density row.
 """
 import argparse
 import json
@@ -32,9 +31,11 @@ from bench import bench_slope
 
 
 def bench_loop(one_step, x0, iters=8, reps=3):
-    (t,) = bench_slope([(one_step, x0)], chains=(2, 8), iters=iters,
-                       reps=reps)
-    return t
+    on_tpu = jax.default_backend() == "tpu"
+    (t,), anchor = bench_slope([(one_step, x0)], chains=(2, 8),
+                               iters=iters, reps=reps, with_anchor=True,
+                               retries=3 if on_tpu else 0)
+    return t, anchor
 
 
 def make_layout(kind, nb, m, rng):
@@ -82,7 +83,7 @@ def main():
         # dense baseline per hidden size
         Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
         xd = jnp.asarray(rng.uniform(-1, 1, (hidden, args.N)), dtype)
-        dt_dense = bench_loop(lambda x: jax.lax.dot_general(
+        dt_dense, anch_d = bench_loop(lambda x: jax.lax.dot_general(
             Wd, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype), xd)
         dense_tf = 2 * hidden * hidden * args.N / dt_dense / 1e12
@@ -103,7 +104,8 @@ def main():
                     W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
                     x0 = jnp.asarray(
                         rng.uniform(-1, 1, bsmm.i_shape(args.N)), dtype)
-                    dt = bench_loop(lambda x: bsmm(x, W).astype(dtype), x0)
+                    dt, anch = bench_loop(
+                        lambda x: bsmm(x, W).astype(dtype), x0)
                     fl = 2 * bsmm.blocks * bsize * bsize * args.N
                     eff = fl / dt / 1e12
                     row = {
@@ -116,6 +118,8 @@ def main():
                         "eff_tflops": round(eff, 2),
                         "flops_fraction": round(eff / dense_tf, 4),
                         "mode": bsmm.mode_f,
+                        "anchor_ms": anch["anchor_ms"],
+                        "timing_valid": anch["timing_valid"],
                     }
                     results["rows"].append(row)
                     print(f"{kind:>7} {hidden:7d} {bsize:5d} "

@@ -12,6 +12,7 @@ Public surface mirrors /root/reference/blocksparse/__init__.py.
 __version__ = "0.1.0"
 
 from blocksparse_tpu.utils import (
+    reset_scalar_constants,
     get_entropy,
     set_entropy,
     entropy_size,
@@ -60,6 +61,7 @@ from blocksparse_tpu.ops.ewops import (
     swish,
     fast_gelu,
     filter_tensor,
+    filter_tensor_op,
     scale_tensor,
     float_cast,
     dropout,

@@ -114,6 +114,9 @@ def filter_tensor(x, scale=1.0, saturate=0.0, zero_infs=False,
     return _ft(x, jnp.asarray(scale, jnp.float32))
 
 
+filter_tensor_op = filter_tensor  # reference export name (ewops.py:160)
+
+
 def scale_tensor(x, scale=1.0):
     return filter_tensor(x, scale=scale)
 

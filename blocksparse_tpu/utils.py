@@ -141,6 +141,13 @@ def scalar_constant(value, dtype=jnp.float32, name=None):
     return jnp.asarray(value, dtype=dtype)
 
 
+def reset_scalar_constants():
+    """API parity with reference utils.py:72 — the reference clears its
+    per-graph scalar-constant cache between graphs; there is no cache
+    here (jit dedups constants), so this is a documented no-op."""
+    pass
+
+
 # ------------------------------------------------------------------
 # Conv output-dim math (reference utils.py:161-192)
 # ------------------------------------------------------------------

@@ -20,9 +20,10 @@ is the slope (t(c2) - t(c1)) / (c2 - c1), cancelling per-CALL
 overhead; a known-cost dense anchor measured through the same protocol
 validates the window (per-ITERATION contention shows up in the
 anchor), and invalid passes re-time after a backoff.  Sparse/dense
-reps are interleaved (A/B/A/B) and every rep runs on a fresh input
-(the tunnel memoizes repeat executions; outputs are also inflated to
-~128 MB -- see chain_timer).
+reps are interleaved (A/B/A/B), every rep runs on a fresh input (the
+tunnel caches repeat executions), and every timed call waits on a
+scalar HOST READBACK rather than block_until_ready, which does not
+reliably block through the tunnel (see `checksum`).
 
 Headline = canonical random layout.  detail adds: the structured
 (banded) layout fraction at the same density — random layouts carry a
@@ -58,8 +59,25 @@ def _fresh_pool(x0, reps, seed=17):
         eps = (jax.random.uniform(sub, x0.shape, jnp.float32, -1e-3, 1e-3)
                .astype(x0.dtype))
         pool.append(x0 + eps)
-    jax.block_until_ready(pool)
+    # tiny host readback flushes the queue so pool materialization
+    # can't bleed into a timed call (block_until_ready is unreliable
+    # through the tunnel)
+    for p in pool:
+        np.asarray(jax.device_get(p[(0,) * (p.ndim - 1)][:1]))
     return pool
+
+
+def checksum(y):
+    """Scalar f32 checksum of a pytree — the only output a timed runner
+    should return.  The timer then waits on a HOST READBACK of the
+    scalar (`float(...)`), which cannot complete before the whole
+    computation: `jax.block_until_ready` does NOT reliably block
+    through the bench tunnel (measured returning in 0.13 ms on a 3.6 s
+    program, while agreeing with readback timing on other programs —
+    BENCH_NOTES.md round-3 finding 3).  A readback forces real
+    execution, so no output inflation is needed either."""
+    return sum(jnp.sum(jnp.square(a.astype(jnp.float32)))
+               for a in jax.tree_util.tree_leaves(y))
 
 
 def chain_timer(one_step, x0, chain, iters=8, reps=3):
@@ -67,24 +85,24 @@ def chain_timer(one_step, x0, chain, iters=8, reps=3):
     times (data-dependent); returns a zero-arg timer giving seconds per
     scan iteration (= quantum + chain * t_app).
 
-    The returned output is inflated to >= ~128 MB: the bench tunnel
-    memoizes repeat executions of small-output executables EVEN WITH
-    fresh arguments (the round-2 attention-sweep failure mode,
-    BENCH_NOTES.md), while large-output workloads execute for real.
-    The tile write is a once-per-call constant, so it cancels in the
-    two-chain slope."""
+    The runner returns a scalar checksum and the timer waits on its
+    host readback (see `checksum`).  Every timed rep consumes a fresh
+    input (the tunnel caches repeat (executable, args) executions)."""
     @jax.jit
     def run(x):
         def body(x, _):
-            # fori_loop keeps compile time O(1) in the chain length
-            x = jax.lax.fori_loop(0, chain, lambda i, v: one_step(v), x)
+            # UNROLLED chain (not fori_loop): a loop boundary between
+            # applications drains the Pallas DMA pipeline, measured 2x
+            # on the sparse kernel (tools/tpu_chain_style_probe.py:
+            # fori 2.05 ms vs unrolled 1.06 ms per app, dense 1.53 vs
+            # 1.44).  Chains are <= 16 so compile time stays bounded.
+            for _ in range(chain):
+                x = one_step(x)
             return x, None
         y, _ = jax.lax.scan(body, x, None, length=iters)
-        flat = y.reshape(-1)
-        rep_n = max(1, int(128 * 1024 * 1024 // max(flat.nbytes, 1)))
-        return jnp.tile(flat, rep_n) if rep_n > 1 else y
+        return checksum(y)
 
-    jax.block_until_ready(run(x0))
+    float(run(x0))  # compile + warm
     pool = _fresh_pool(x0, reps, seed=chain)
     seed_ctr = [chain]
 
@@ -94,7 +112,7 @@ def chain_timer(one_step, x0, chain, iters=8, reps=3):
             pool.extend(_fresh_pool(x0, reps, seed=seed_ctr[0]))
         x = pool.pop()
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        float(run(x))
         return (time.perf_counter() - t0) / iters
     return rep
 
@@ -159,6 +177,28 @@ def bench_slope(steps_and_x0, chains=(2, 8), iters=8, reps=3,
     info = {"anchor_ms": round(anchor_ms, 4),
             "timing_valid": bool(lo <= anchor_ms <= hi)}
     return slopes[:-1], info
+
+
+def anchor_slope_ms(iters=6, reps=3):
+    """Slope-time the known-cost dense anchor in the CURRENT window.
+    Harnesses that can't route their workload through chain_timer
+    (e.g. first-execution scan-length slopes) call this to validate
+    the window and retry on contention."""
+    step, x0 = _anchor_job()
+    timers = [chain_timer(step, x0, c, iters, reps) for c in (2, 8)]
+    best = [min(t() for _ in range(reps)) for t in timers]
+    return (best[1] - best[0]) / 6 * 1e3
+
+
+
+
+def result_path(name):
+    """benchmarks/results_<name>.json on TPU; a `_cpu` suffix
+    otherwise, so CI/smoke runs never clobber hardware captures
+    (round-3 incident: CPU smoke overwrote the TPU sweep artifacts)."""
+    suffix = "" if jax.default_backend() == "tpu" else "_cpu"
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", f"results_{name}{suffix}.json")
 
 
 def make_layout(kind, nb, density, rng):

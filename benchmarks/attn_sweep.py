@@ -36,7 +36,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 from blocksparse_tpu.ops.transformer import BlocksparseTransformer
 from blocksparse_tpu.models.sparse_transformer import (
     fixed_layout, causal_subblock_mask)
-from bench import bench_slope
+from bench import bench_slope, result_path
 
 
 def main():
@@ -52,8 +52,7 @@ def main():
     p.add_argument("--bsize", type=int, default=64)
     p.add_argument("--local_blocks", type=int, default=8)
     p.add_argument("--out", type=str,
-                   default=os.path.join(os.path.dirname(
-                       os.path.abspath(__file__)), "results_attn.json"))
+                   default=result_path("attn"))
     args = p.parse_args()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from blocksparse_tpu import BlocksparseMatMul
 from blocksparse_tpu.models.sparse_lstm import make_mask
-from bench import bench_slope
+from bench import bench_slope, result_path
 
 
 def bench_loop(one_step, x0, iters=8, reps=3):
@@ -65,8 +65,7 @@ def main():
     p.add_argument("--layouts", type=str, default="random,banded,ba")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--out", type=str,
-                   default=os.path.join(os.path.dirname(
-                       os.path.abspath(__file__)), "results_bsmm.json"))
+                   default=result_path("bsmm"))
     args = p.parse_args()
 
     dtype = jnp.dtype(args.dtype)

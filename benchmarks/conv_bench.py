@@ -26,7 +26,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 from blocksparse_tpu.ops.conv import BlocksparseConv
-from bench import bench_slope
+from bench import bench_slope, result_path
 
 
 def make_bck(nb_c, nb_k, bC, bK, density, rng):
@@ -49,8 +49,7 @@ def main():
     p.add_argument("--batch", type=int, default=32 if on_tpu else 2)
     p.add_argument("--densities", type=str,
                    default="0.25,0.0625" if on_tpu else "0.5")
-    p.add_argument("--out", type=str, default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results_conv.json"))
+    p.add_argument("--out", type=str, default=result_path("conv"))
     args = p.parse_args()
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -32,7 +32,8 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 from blocksparse_tpu.models.sparse_transformer import (
     SparseTransformerLM, TransformerConfig, generate_cached,
     generate_cached_scan)
-from bench import bench_slope
+from bench import (bench_slope, anchor_slope_ms, checksum,
+                   ANCHOR_RANGE_MS, result_path)
 
 
 def main():
@@ -49,9 +50,8 @@ def main():
     key = jax.random.PRNGKey(3)
 
     # scanned cached decode: slope between two step counts cancels
-    # prefill + quantum.  AOT-compile, then time the FIRST execution of
-    # each executable — the tunnel memoizes repeat executions of
-    # small-output executables even with fresh args (BENCH_NOTES.md).
+    # prefill + the per-call quantum; scalar-checksum host readback
+    # forces real execution (BENCH_NOTES.md round-3 finding 3).
     s1, s2 = (16, 64) if on_tpu else (2, 8)
     ctx_half = int(prompt.shape[1])
     tokens_full = jnp.zeros((1, ctx), jnp.int32).at[:, :ctx_half] \
@@ -71,28 +71,55 @@ def main():
             (caches, _, _, _), toks = jax.lax.scan(
                 body, (caches, jnp.asarray(ctx_half, jnp.int32), key,
                        last_logits), None, length=steps)
-            # large output defeats the tunnel's memoization; written
-            # once per call, cancels in the slope
-            return toks, jax.tree_util.tree_map(lambda a: a, caches)
+            return checksum((toks, caches))
         return decode_all
 
-    def time_first(steps):
-        c = jax.jit(make_decode(steps)).lower(
-            caches, key, last_logits).compile()
-        t0 = time.perf_counter()
-        jax.block_until_ready(c(caches, key, last_logits))
-        return time.perf_counter() - t0
+    # min-of-reps with a FRESH key per rep (the tunnel caches repeat
+    # (executable, args) pairs) and anchor-validated retry: a single
+    # first-execution pair is at the mercy of the contention quantum
+    # (~0..360 ms/call across windows — the round-3 negative-slope
+    # artifact came from exactly that).
+    c_s1 = jax.jit(make_decode(s1)).lower(caches, key, last_logits) \
+        .compile()
+    c_s2 = jax.jit(make_decode(s2)).lower(caches, key, last_logits) \
+        .compile()
+    float(c_s1(caches, key, last_logits))  # warm
 
-    t1, t2 = time_first(s1), time_first(s2)
-    dt_scan = (t2 - t1) / (s2 - s1)
+    key_ctr = [100]
+
+    def timed_min(c, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            key_ctr[0] += 1
+            k = jax.random.fold_in(key, key_ctr[0])
+            t0 = time.perf_counter()
+            float(c(caches, k, last_logits))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_scan, anchor_ms = None, None
+    for attempt in range(4):
+        t1, t2 = timed_min(c_s1), timed_min(c_s2)
+        dt_scan = (t2 - t1) / (s2 - s1)
+        if not on_tpu:
+            break
+        anchor_ms = anchor_slope_ms()
+        lo, hi = ANCHOR_RANGE_MS
+        if lo <= anchor_ms <= hi and dt_scan > 0:
+            break
+        print(f"[decode_bench] anchor {anchor_ms:.3f} ms / slope "
+              f"{dt_scan*1e3:.3f} ms — contended window, retrying",
+              flush=True)
+        time.sleep(45)
 
     # unscanned loop (per-token jit dispatch) for the overhead record
     def timed_loop(steps):
         out = generate_cached(model, params, prompt, steps, key=key)
-        jax.block_until_ready(out)
+        np.asarray(out)  # host readback — block_until_ready is unreliable
         t0 = time.perf_counter()
-        out = generate_cached(model, params, prompt, steps, key=key)
-        jax.block_until_ready(out)
+        out = generate_cached(model, params, prompt, steps,
+                              key=jax.random.fold_in(key, 777))
+        np.asarray(out)
         return (time.perf_counter() - t0) / steps
     dt_loop = timed_loop(s1)
 
@@ -113,10 +140,13 @@ def main():
         "full_fwd_ms_per_token": round(dt_full * 1e3, 3),
         "speedup_vs_full": round(dt_full / dt_scan, 2),
         "loop_dispatch_overhead_ms": round((dt_loop - dt_scan) * 1e3, 3),
+        "anchor_ms": round(anchor_ms, 4) if anchor_ms else None,
+        "timing_valid": bool(dt_scan > 0 and (anchor_ms is None or
+                             ANCHOR_RANGE_MS[0] <= anchor_ms
+                             <= ANCHOR_RANGE_MS[1])),
         "backend": jax.default_backend(),
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_decode.json")
+    out_path = result_path("decode")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))

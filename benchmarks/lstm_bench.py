@@ -51,8 +51,14 @@ def main():
 
     # whole-chain-in-one-jit timing: n train steps inside lax.scan
     # (carrying params/opt/ema state); slope between two scan lengths
-    # cancels per-call overhead, AOT compile + first-execution defeats
-    # the tunnel's repeat-memoization (BENCH_NOTES round-3)
+    # cancels per-call overhead.  The chain returns a scalar checksum
+    # and the timer waits on its HOST READBACK — block_until_ready
+    # does not reliably block through the tunnel, and on exactly this
+    # workload it returned in 0.13 ms on a 3.6 s program, producing
+    # the bogus step_ms 0.01 artifact (BENCH_NOTES round-3 finding 3).
+    from bench import anchor_slope_ms, checksum, ANCHOR_RANGE_MS, \
+        result_path
+
     def make_chain(n):
         def chain(params, state, ema_state, x, y):
             def body(carry, _):
@@ -61,7 +67,7 @@ def main():
                 return (p, s, e), loss
             (p, s, e), losses = jax.lax.scan(
                 body, (params, state, ema_state), None, length=n)
-            return p, losses
+            return checksum((losses, p))
         return chain
 
     def step_impl(params, state, ema_state, x, y):
@@ -72,21 +78,41 @@ def main():
         ema_state = ema.apply(params, ema_state)
         return params, state, ema_state, loss
 
-    def time_first(n):
-        c = jax.jit(make_chain(n)).lower(
-            params, state, ema_state, x, y).compile()
+    reps = 3
+    rng2 = np.random.RandomState(7)
+    x_pool = [jnp.asarray(rng2.randint(0, 256, x.shape), jnp.int32)
+              for _ in range(reps * 8)]
+    jax.block_until_ready(x_pool)
+
+    def timed_min(c):
         best = float("inf")
-        # TPU: only the first execution is trustworthy (memoization);
-        # CPU: no memoization, min-of-3 smooths warm-up noise
-        for _ in range(1 if on_tpu else 3):
+        for _ in range(reps):
+            xi = x_pool.pop()
             t0 = time.perf_counter()
-            jax.block_until_ready(c(params, state, ema_state, x, y))
+            float(c(params, state, ema_state, xi, y))
             best = min(best, time.perf_counter() - t0)
         return best
 
     n1, n2 = (4, 16) if on_tpu else (1, 3)
-    t1, t2 = time_first(n1), time_first(n2)
-    dt = (t2 - t1) / (n2 - n1)
+    c1 = jax.jit(make_chain(n1)).lower(
+        params, state, ema_state, x, y).compile()
+    c2 = jax.jit(make_chain(n2)).lower(
+        params, state, ema_state, x, y).compile()
+    float(c1(params, state, ema_state, x, y))  # warm
+
+    anchor_ms, dt = None, None
+    for attempt in range(4):
+        t1, t2 = timed_min(c1), timed_min(c2)
+        dt = (t2 - t1) / (n2 - n1)
+        if not on_tpu:
+            break
+        anchor_ms = anchor_slope_ms()
+        lo, hi = ANCHOR_RANGE_MS
+        if lo <= anchor_ms <= hi and dt > 0:
+            break
+        print(f"[lstm_bench] anchor {anchor_ms:.3f} ms / slope "
+              f"{dt*1e3:.3f} ms — contended window, retrying", flush=True)
+        time.sleep(45)
 
     res = {
         "nhidden": cfg.nhidden, "nsteps": cfg.nsteps, "batch": batch,
@@ -94,12 +120,15 @@ def main():
         "blocks": model.bsmm_h.blocks,
         "density": round(float(model.bsmm_h.sparsity), 4),
         "step_ms": round(dt * 1e3, 2),
-        "it_per_s": round(1.0 / dt, 2),
+        "it_per_s": round(1.0 / dt, 2) if dt > 0 else None,
+        "anchor_ms": round(anchor_ms, 4) if anchor_ms else None,
+        "timing_valid": bool(dt > 0 and (anchor_ms is None or
+                             ANCHOR_RANGE_MS[0] <= anchor_ms
+                             <= ANCHOR_RANGE_MS[1])),
         "reference_log_it_per_s": "6.4-6.9 (4 GPUs, train.py:330-368)",
         "backend": jax.default_backend(),
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results_lstm.json")
+    out = result_path("lstm")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))

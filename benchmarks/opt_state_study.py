@@ -31,6 +31,7 @@ import blocksparse_tpu as bs
 from blocksparse_tpu.models.sparse_transformer import (SparseTransformerLM,
                                                        TransformerConfig)
 from blocksparse_tpu.ops.optimize import AdamOptimizer
+from bench import result_path
 
 
 def run_curve(state_format, n_iter, batch, data, cfg, lr):
@@ -74,9 +75,7 @@ def main():
     p.add_argument("--n_embd", type=int, default=256)
     p.add_argument("--ctx", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--out", type=str, default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "results_opt_state.json"))
+    p.add_argument("--out", type=str, default=result_path("opt_state"))
     args = p.parse_args()
 
     # n_embd >= 256 so attention/MLP weights cross the 8K-element

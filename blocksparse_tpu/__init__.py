@@ -98,6 +98,7 @@ from blocksparse_tpu.ops.matmul import (
     SparseProj,
     block_reduced_full_dw,
     group_param_grads,
+    group_dg_grads,
     get_bsmm_dx_ops,
     largest_block,
     coarsen_layout,

@@ -1023,6 +1023,16 @@ def group_param_grads(param_grad, group_size=8):
     return param_grad
 
 
+def group_dg_grads(gate_grad, group_size=8):
+    """No-op under JAX (gate-grad analog of :func:`group_param_grads`).
+
+    The reference rewrites chained BlocksparseMatmulDG ops for shared
+    gates (matmul.py:733-777); JAX accumulates shared-gate cotangents
+    automatically.
+    """
+    return gate_grad
+
+
 def get_bsmm_dx_ops(param_grad):
     raise NotImplementedError(
         "graph introspection has no JAX equivalent; use jax.grad directly")

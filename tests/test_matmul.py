@@ -684,3 +684,49 @@ def test_native_cluster_rows_parity():
             np.asarray(fr, np.int32), np.asarray(fc, np.int32),
             n, n_cols, R)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_dense_tile_tail_chunks():
+    """Variable-depth tail chunks: banded layouts have uniform unions
+    whose remainder mod G runs as one narrow chunk (kernels/bsmm.py
+    _xprop_dense_tile_tail_kernel); golden parity plus schedule
+    accounting (billed passes strictly drop vs full-width padding)."""
+    from blocksparse_tpu.kernels.bsmm import (
+        build_dense_tile_schedule, choose_dense_tile_G_tail)
+    nb = 24
+    lay = np.zeros((nb, nb), np.int32)
+    for q in range(nb):           # band of 9 -> union 10 at R=4
+        lay[q, max(0, q - 4):min(nb, q + 5)] = 1
+    bsmm = BlocksparseMatMul(lay, block_size=32, feature_axis=0,
+                             impl="pallas", mode="dense_tile")
+    sched = bsmm.fprop_dt
+    assert sched is not None
+    if sched.Gt > 0:
+        assert sched.tail is not None and sched.tail.sum() > 0
+        # tails bill fewer pass-equivalents than full-width padding
+        full = build_dense_tile_schedule(
+            [[(int(c), 0) for c in np.nonzero(lay[r])[0]]
+             for r in range(nb)], nb, 32, int(lay.sum()), tails=False)
+        assert sched.mxu_passes(32) <= full.mxu_passes(32)
+    W = np.random.RandomState(1).uniform(
+        -1, 1, (bsmm.blocks, 32, 32)).astype(np.float32)
+    Wp = bsmm.pack_weights(W) if bsmm.w_layout == "fprop_packed" else W
+    X = np.random.RandomState(2).uniform(
+        -1, 1, bsmm.i_shape(128)).astype(np.float32)
+    E = np.random.RandomState(3).uniform(
+        -1, 1, bsmm.o_shape(128)).astype(np.float32)
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.vdot(y, jnp.asarray(E)), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(Wp))
+    DWc = bsmm.unpack_weights(np.asarray(DW)) \
+        if bsmm.w_layout == "fprop_packed" else np.asarray(DW)
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(DWc, bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)

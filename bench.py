@@ -80,16 +80,25 @@ def checksum(y):
                for a in jax.tree_util.tree_leaves(y))
 
 
-def chain_timer(one_step, x0, chain, iters=8, reps=3):
+def chain_timer(one_step, x0, chain, iters=8, reps=3, params=None):
     """Compile + warm a runner whose scan body applies one_step `chain`
     times (data-dependent); returns a zero-arg timer giving seconds per
     scan iteration (= quantum + chain * t_app).
 
     The runner returns a scalar checksum and the timer waits on its
     host readback (see `checksum`).  Every timed rep consumes a fresh
-    input (the tunnel caches repeat (executable, args) executions)."""
+    input (the tunnel caches repeat (executable, args) executions).
+
+    Big constants (weights) must be passed via `params`, making them
+    jit ARGUMENTS: closed-over arrays are inlined as HLO literals and
+    ship inside the compile request, which the tunnel's remote-compile
+    server rejects over ~0.5 GB with HTTP 413 (hit at hidden=16384
+    dense; jax.closure_convert does NOT hoist concrete arrays).  With
+    params, one_step is called as one_step(x, params)."""
+    take_p = params is not None
+
     @jax.jit
-    def run(x):
+    def run(x, p):
         def body(x, _):
             # UNROLLED chain (not fori_loop): a loop boundary between
             # applications drains the Pallas DMA pipeline, measured 2x
@@ -97,12 +106,12 @@ def chain_timer(one_step, x0, chain, iters=8, reps=3):
             # fori 2.05 ms vs unrolled 1.06 ms per app, dense 1.53 vs
             # 1.44).  Chains are <= 16 so compile time stays bounded.
             for _ in range(chain):
-                x = one_step(x)
+                x = one_step(x, p) if take_p else one_step(x)
             return x, None
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return checksum(y)
 
-    float(run(x0))  # compile + warm
+    float(run(x0, params))  # compile + warm
     pool = _fresh_pool(x0, reps, seed=chain)
     seed_ctr = [chain]
 
@@ -112,7 +121,7 @@ def chain_timer(one_step, x0, chain, iters=8, reps=3):
             pool.extend(_fresh_pool(x0, reps, seed=seed_ctr[0]))
         x = pool.pop()
         t0 = time.perf_counter()
-        float(run(x))
+        float(run(x, params))
         return (time.perf_counter() - t0) / iters
     return rep
 
@@ -131,11 +140,11 @@ def _anchor_job():
     W = jnp.asarray(rng.uniform(-0.05, 0.05, (4096, 4096)), jnp.bfloat16)
     x0 = jnp.asarray(rng.uniform(-1, 1, (4096, 512)), jnp.bfloat16)
 
-    def step(x):
+    def step(x, w):
         return jax.lax.dot_general(
-            W, x, (((1,), (0,)), ((), ())),
+            w, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    return step, x0
+    return step, x0, W
 
 
 def bench_slope(steps_and_x0, chains=(2, 8), iters=8, reps=3,
@@ -149,12 +158,17 @@ def bench_slope(steps_and_x0, chains=(2, 8), iters=8, reps=3,
     shared tenant: contention windows inflate (or, in idle windows,
     deflate to the dispatch floor) every measurement, so when the
     anchor lands outside ANCHOR_RANGE_MS the whole pass is re-timed
-    after a backoff (executables stay compiled; retries are cheap)."""
-    jobs = list(steps_and_x0)
+    after a backoff (executables stay compiled; retries are cheap).
+
+    Jobs are (step, x0) with step(x), or (step, x0, params) with
+    step(x, params) — pass weights via params (see chain_timer)."""
+    jobs = [j if len(j) == 3 else (j[0], j[1], None)
+            for j in steps_and_x0]
     if with_anchor:
         jobs.append(_anchor_job())
-    timers = [[chain_timer(s, x, c, iters, reps) for c in chains]
-              for (s, x) in jobs]
+    timers = [[chain_timer(s, x, c, iters, reps, params=p)
+               for c in chains]
+              for (s, x, p) in jobs]
     c1, c2 = chains
     lo, hi = ANCHOR_RANGE_MS
     attempts = (retries + 1) if with_anchor else 1
@@ -186,8 +200,9 @@ def anchor_slope_ms(iters=6, reps=3):
     Harnesses that can't route their workload through chain_timer
     (e.g. first-execution scan-length slopes) call this to validate
     the window and retry on contention."""
-    step, x0 = _anchor_job()
-    timers = [chain_timer(step, x0, c, iters, reps) for c in (2, 8)]
+    step, x0, W = _anchor_job()
+    timers = [chain_timer(step, x0, c, iters, reps, params=W)
+              for c in (2, 8)]
     best = [min(t() for _ in range(reps)) for t in timers]
     return (best[1] - best[0]) / 6 * 1e3
 
@@ -248,35 +263,38 @@ def bsmm_bench():
     x0 = jnp.asarray(rng.uniform(-1, 1, bs_rand.i_shape(N)), dtype)
     Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
 
-    def dense_step(x):
+    def dense_step(x, w):
         return jax.lax.dot_general(
-            Wd, x, (((1,), (0,)), ((), ())),
+            w, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
 
+    # weights ride as params (jit arguments): inlined closures ship in
+    # the remote-compile request body (HTTP 413 over ~0.5 GB)
     (dt_rand, dt_band, dt_b64, dt_dense), anchor = bench_slope([
-        (lambda x: bs_rand(x, W_rand).astype(dtype), x0),
-        (lambda x: bs_band(x, W_band).astype(dtype), x0),
-        (lambda x: bs_b64(x, W_b64).astype(dtype), x0),
-        (dense_step, x0),
+        (lambda x, w: bs_rand(x, w).astype(dtype), x0, W_rand),
+        (lambda x, w: bs_band(x, w).astype(dtype), x0, W_band),
+        (lambda x, w: bs_b64(x, w).astype(dtype), x0, W_b64),
+        (dense_step, x0, Wd),
     ], with_anchor=True, retries=3 if on_tpu else 0)
 
     # fwd+bwd (all three directions: fprop + dx + dw contribute) — the
     # reference benches bprop/updat via the bench attr on every op
     # (src/blocksparse_matmul_op.cc:381).  dx has x's shape, so the
     # grad chains as the next input.
-    def train_rand(x):
+    def train_rand(x, w):
         def f(x):
             return jnp.sum(jnp.square(
-                bs_rand(x, W_rand).astype(jnp.float32)))
+                bs_rand(x, w).astype(jnp.float32)))
         return jax.grad(f)(x).astype(dtype)
 
-    def train_dense(x):
+    def train_dense(x, w):
         def f(x):
-            return jnp.sum(jnp.square(dense_step(x).astype(jnp.float32)))
+            return jnp.sum(jnp.square(
+                dense_step(x, w).astype(jnp.float32)))
         return jax.grad(f)(x).astype(dtype)
 
     dt_rand_fb, dt_dense_fb = bench_slope([
-        (train_rand, x0), (train_dense, x0)], chains=(2, 6))
+        (train_rand, x0, W_rand), (train_dense, x0, Wd)], chains=(2, 6))
 
     dense_flops = 2 * hidden * hidden * N
     dense_tflops = dense_flops / dt_dense / 1e12

@@ -49,12 +49,15 @@ def main():
     Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
     xd = jnp.asarray(rng.uniform(-1, 1, (hidden, N)), dtype)
 
-    def dense_step(x):
+    def dense_step(x, w):
         return jax.lax.dot_general(
-            Wd, x, (((1,), (0,)), ((), ())),
+            w, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
 
-    jobs = [(dense_step, xd)]
+    # weights ride as params: a 16384^2 bf16 closure constant inlines
+    # 536 MB of literal into the HLO and the tunnel's remote-compile
+    # server rejects the request with HTTP 413
+    jobs = [(dense_step, xd, Wd)]
     labels = ["dense"]
     keep = []
     for bs in [int(b) for b in args.bsizes.split(",")]:
@@ -65,7 +68,7 @@ def main():
         Wc = rng.uniform(-0.1, 0.1, (bsmm.blocks, bs, bs)).astype(np.float32)
         W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
         x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
-        jobs.append((lambda x, b=bsmm, w=W: b(x, w).astype(dtype), x0))
+        jobs.append((lambda x, w, b=bsmm: b(x, w).astype(dtype), x0, W))
         labels.append(f"banded_b{bs}")
         keep.append((bs, bsmm))
 

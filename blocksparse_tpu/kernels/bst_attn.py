@@ -10,13 +10,20 @@ Design (TPU-first):
   blocked score tensor is never materialized, which removes the
   reference's 32K-keys-per-row softmax limit (src/bst_op.cc:383) and its
   2^32-element score tensor limit (src/bst_op.cc:214).
-* Grid is (batch*heads, schedule steps).  K and V stay fully resident in
-  VMEM for the whole head (typical head: ctx 8K x hs 64 bf16 = 1 MB), so
-  per-step DMA is just the mask chunk.
-* Each step processes a chunk of E key-blocks of one query block-row,
-  gathered from resident K/V by LUT index.  Per-block masks stream in
-  schedule order; padding chunks carry all-zero masks, which the -inf
-  masking makes numerically inert.
+* Grid is (batch*heads, schedule steps).  Each step processes a chunk of
+  E key-blocks of one query block-row, gathered by LUT index.
+* Schedule arrays (k_idx, mcode) ride as ONE whole-array SMEM operand
+  each, NOT as scalar prefetch: Mosaic replicates scalar-prefetch arrays
+  per operand in SMEM, which capsizes at large layouts.  Only the tiny
+  O(S) row/first/last arrays (needed by the q/out BlockSpec index maps)
+  stay in scalar prefetch.
+* Two K/V residency modes:
+  - resident (default, small ctx): K and V live whole in VMEM for the
+    head (ctx 8K x hs 64 bf16 = 1 MB) and blocks are gathered in-VMEM.
+  - stream (large ctx): K/V stay in HBM (ANY memory space) and each
+    step's E blocks are gathered by explicit double-buffered DMA — the
+    next chunk's copies start before this chunk's compute, so gather
+    overlaps the MXU work.  No ctx*hs size limit.
 """
 from __future__ import annotations
 
@@ -36,9 +43,9 @@ _NEG_INF = -1e30
 
 # Per-slot mask codes (replaces the round-1 dense int8 mask stream,
 # which moved bs*E*bs bytes per step from HBM — rivaling the K/V traffic
-# the flash design saves).  Codes are tiny scalar-prefetch data; the
-# (bs, E*bs) mask is regenerated in-kernel from iota, with a small table
-# of deduplicated arbitrary blocks for callback masks that are neither
+# the flash design saves).  Codes are tiny SMEM data; the (bs, E*bs)
+# mask is regenerated in-kernel from iota, with a small table of
+# deduplicated arbitrary blocks for callback masks that are neither
 # full nor (anti)causal.  Matches the information content of the
 # reference's bit-packed masks (transformer.py:135-159) at even lower
 # traffic for the common cases.
@@ -54,7 +61,7 @@ class AttnSchedule:
     """Arrays may be numpy (host-built) or traced jnp (e.g. a per-shard
     slice selected by axis_index inside shard_map — sequence parallel);
     every consumer only relies on shapes and passes them through to
-    pallas_call as scalar-prefetch operands."""
+    pallas_call as operands."""
     row: np.ndarray       # (S,) q block-row of each step
     first: np.ndarray     # (S,)
     last: np.ndarray      # (S,)
@@ -169,7 +176,7 @@ def _gen_mask(mcode_ref, um_ref, h, s, E, bs):
     ones = jnp.ones((bs, bs), jnp.int32)
     cols = []
     for i in range(E):
-        code = mcode_ref[h, s * E + i]
+        code = mcode_ref[h, s, i]
         uo = jnp.maximum(code - MASK_UNIQ0, 0) * bs
         um = um_ref[pl.ds(uo, bs), :].astype(jnp.int32)
         mi = ((code == MASK_FULL).astype(jnp.int32) * ones
@@ -180,30 +187,95 @@ def _gen_mask(mcode_ref, um_ref, h, s, E, bs):
     return jnp.concatenate(cols, axis=1)
 
 
-def _slot_specs(E, bs, hs, S, lut_heads, heads, n_prefetch_before=3):
-    """Per-slot BlockSpecs streaming E gathered (bs, hs) blocks per step
-    from HBM (the index map gathers by the flattened k_idx prefetch).
-    Used when whole-tensor VMEM residency doesn't fit (huge ctx*hs)."""
-    def ix(i):
-        def f(bh, s, row, fi, la, ki, mc, i=i):
-            h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
-            return (bh, ki[h * (S * E) + s * E + i], 0)
-        return f
-    return [pl.BlockSpec((1, bs, hs), ix(i), memory_space=pltpu.VMEM)
-            for i in range(E)]
+def _vmem_gather(ref, kidx_ref, h, s, E, bs):
+    """Gather E (bs, hs) blocks from a whole-VMEM (1, ctx, hs) ref by
+    the SMEM schedule -> (E*bs, hs)."""
+    return jnp.concatenate(
+        [ref[0, pl.ds(kidx_ref[h, s, i] * bs, bs), :] for i in range(E)],
+        axis=0)
 
 
-def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
+def _row_gather(ref2, kidx_ref, h, s, E, bs):
+    """Gather E (1, bs) rows from a whole-VMEM (1, ctx_blks, bs) ref of
+    per-position scalars (lse/dvec in block-row form) -> (1, E*bs).
+    The (ctx_blks, bs) form keeps bs on the lane axis; a (ctx, 1) form
+    would pad each row to 128 lanes (8 MB VMEM at ctx 16K)."""
+    return jnp.concatenate(
+        [ref2[0, pl.ds(kidx_ref[h, s, i], 1), :] for i in range(E)],
+        axis=1)
+
+
+def _stream_gather(srcs, bufs, sems, kidx_ref, h, s, S, bh, E, bs):
+    """Double-buffered DMA gather of E (bs, ...) blocks per source from
+    ANY-space (HBM) refs, indexed by the SMEM schedule.  Starts step
+    s+1's copies before waiting on step s's, so the next chunk's gather
+    overlaps this chunk's compute.  Every started copy is waited exactly
+    once (warm-up copies at s == 0; step t's copies in step t)."""
+    def descs(step, slot):
+        out = []
+        for t, (src, buf) in enumerate(zip(srcs, bufs)):
+            for i in range(E):
+                kb = kidx_ref[h, step, i]
+                out.append(pltpu.make_async_copy(
+                    src.at[bh, pl.ds(kb * bs, bs), :],
+                    buf.at[slot, pl.ds(i * bs, bs), :],
+                    sems.at[slot, t, i]))
+        return out
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _():
+        for d in descs(0, 0):
+            d.start()
+
+    @pl.when(s + 1 < S)
+    def _():
+        for d in descs(s + 1, 1 - slot):
+            d.start()
+
+    for d in descs(s, slot):
+        d.wait()
+    return [buf[slot] for buf in bufs]
+
+
+def _sched_smem_specs():
+    """Whole-array SMEM specs for (k_idx, mcode)."""
+    return [pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+
+def _sched_args(sched: AttnSchedule):
+    """(prefetch scalars…, kidx, mcode) operands for a schedule."""
+    return (jnp.asarray(sched.row), jnp.asarray(sched.first),
+            jnp.asarray(sched.last), jnp.asarray(sched.k_idx),
+            jnp.asarray(sched.mcode))
+
+
+# index-map helpers: signature (bh, s, row, first, last)
+def _row_blk(bh, s, row, fi, la):
+    return (bh, row[s], 0)
+
+
+def _whole(bh, s, row, fi, la):
+    return (bh, 0, 0)
+
+
+def _fixed(bh, s, row, fi, la):
+    return (0, 0)
+
+
+def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
                  row_ref, first_ref, last_ref, kidx_ref, mcode_ref, *refs):
     if stream:
-        q_ref = refs[0]
-        ks = refs[1:1 + E]
-        vs = refs[1 + E:1 + 2 * E]
-        um_ref, out_ref, acc_ref, m_ref, l_ref = refs[1 + 2 * E:]
+        (q_ref, k_ref, v_ref, um_ref, out_ref,
+         acc_ref, m_ref, l_ref, kbuf, vbuf, sems) = refs
     else:
-        q_ref, k_ref, v_ref, um_ref, out_ref, acc_ref, m_ref, l_ref = refs
+        (q_ref, k_ref, v_ref, um_ref, out_ref,
+         acc_ref, m_ref, l_ref) = refs
     s = pl.program_id(1)
-    h = 0 if lut_heads == 1 else jax.lax.rem(pl.program_id(0), heads)
+    bh = pl.program_id(0)
+    h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -213,18 +285,12 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
 
     q = q_ref[0]                                    # (bs, hs)
     if stream:
-        kcat = jnp.concatenate([kr[0] for kr in ks], axis=0)
-        vcat = jnp.concatenate([vr[0] for vr in vs], axis=0)
-        vdt = vs[0].dtype
+        kcat, vcat = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
+                                    kidx_ref, h, s, S, bh, E, bs)
+        vdt = vbuf.dtype
     else:
-        kcat = jnp.concatenate(
-            [k_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)],
-            axis=0)                                 # (E*bs, hs)
-        vcat = jnp.concatenate(
-            [v_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)],
-            axis=0)
+        kcat = _vmem_gather(k_ref, kidx_ref, h, s, E, bs)   # (E*bs, hs)
+        vcat = _vmem_gather(v_ref, kidx_ref, h, s, E, bs)
         vdt = v_ref.dtype
     scores = jax.lax.dot_general(
         q, kcat, (((1,), (1,)), ((), ())),
@@ -253,13 +319,28 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
             .astype(out_ref.dtype)
 
 
+def _kv_in_specs(ctxk, hs, stream):
+    if stream:
+        sp = pl.BlockSpec(memory_space=pl.ANY)
+        return [sp, sp]
+    whole = pl.BlockSpec((1, ctxk, hs), _whole, memory_space=pltpu.VMEM)
+    return [whole, whole]
+
+
+def _kv_stream_scratch(E, bs, hs, dtype, n_bufs=2):
+    """2-slot double buffers for n_bufs gathered streams + semaphores."""
+    return [pltpu.VMEM((2, E * bs, hs), dtype) for _ in range(n_bufs)] \
+        + [pltpu.SemaphoreType.DMA((2, n_bufs, E))]
+
+
 def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
                         scale=1.0, precision=None, stream=False):
     """q: (BH, ctx_q, hs); k, v: (BH, ctx_k, hs).  Returns (BH, ctx_q, hs).
 
     BH = batch*heads with head minor (bh = n*heads + h).  stream=True
-    swaps whole-head K/V VMEM residency for per-step slot DMA (no ctx*hs
-    size limit; pays a column-degree refetch factor on K/V traffic)."""
+    swaps whole-head K/V VMEM residency for explicit double-buffered DMA
+    gather from HBM (no ctx*hs size limit; pays a column-degree refetch
+    factor on K/V traffic)."""
     BH, ctxq, hs = q.shape
     _, ctxk, _ = k.shape
     bs, E = sched.bs, sched.E
@@ -269,37 +350,26 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    q_spec = pl.BlockSpec((1, bs, hs),
-                          lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0),
-                          memory_space=pltpu.VMEM)
-    uniq_spec = pl.BlockSpec(sched.muniq.shape,
-                             lambda bh, s, row, fi, la, ki, mc: (0, 0),
+    q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    uniq_spec = pl.BlockSpec(sched.muniq.shape, _fixed,
                              memory_space=pltpu.VMEM)
-    if stream:
-        slots = _slot_specs(E, bs, hs, S, lut_heads, heads)
-        in_specs = [q_spec] + slots + slots + [uniq_spec]
-        operands = (q,) + (k,) * E + (v,) * E
-    else:
-        whole = pl.BlockSpec((1, ctxk, hs),
-                             lambda bh, s, row, fi, la, ki, mc: (bh, 0, 0),
-                             memory_space=pltpu.VMEM)
-        in_specs = [q_spec, whole, whole, uniq_spec]
-        operands = (q, k, v)
-    out_spec = pl.BlockSpec((1, bs, hs),
-                            lambda bh, s, row, fi, la, ki, mc:
-                            (bh, row[s], 0),
-                            memory_space=pltpu.VMEM)
+    in_specs = _sched_smem_specs() + [q_spec] \
+        + _kv_in_specs(ctxk, hs, stream) + [uniq_spec]
+    out_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
 
+    scratch = [
+        pltpu.VMEM((bs, hs), jnp.float32),
+        pltpu.VMEM((bs, 1), jnp.float32),
+        pltpu.VMEM((bs, 1), jnp.float32),
+    ]
+    if stream:
+        scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(BH, S),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((bs, hs), jnp.float32),
-            pltpu.VMEM((bs, 1), jnp.float32),
-            pltpu.VMEM((bs, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     nblocks = sched.num_blocks_scheduled
     cost = pl.CostEstimate(
@@ -309,18 +379,13 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
     )
     fn = pl.pallas_call(
         functools.partial(_attn_kernel, E, bs, hs, scale, lut_heads, heads,
-                          precision, stream),
+                          precision, stream, S),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, ctxq, hs), q.dtype),
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    kidx = sched.k_idx.reshape(-1) if stream \
-        else sched.k_idx.reshape(lut_heads, -1)
-    return fn(jnp.asarray(sched.row), jnp.asarray(sched.first),
-              jnp.asarray(sched.last), jnp.asarray(kidx),
-              jnp.asarray(sched.mcode.reshape(lut_heads, -1)),
-              *operands, jnp.asarray(sched.muniq))
+    return fn(*_sched_args(sched), q, k, v, jnp.asarray(sched.muniq))
 
 
 # ------------------------------------------------------------------
@@ -333,18 +398,17 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
 # ------------------------------------------------------------------
 
 def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
-                         stream, row_ref, first_ref, last_ref, kidx_ref,
+                         stream, S, row_ref, first_ref, last_ref, kidx_ref,
                          mcode_ref, *refs):
     if stream:
-        q_ref = refs[0]
-        ks = refs[1:1 + E]
-        vs = refs[1 + E:1 + 2 * E]
-        um_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref = refs[1 + 2 * E:]
+        (q_ref, k_ref, v_ref, um_ref, out_ref, lse_ref,
+         acc_ref, m_ref, l_ref, kbuf, vbuf, sems) = refs
     else:
         (q_ref, k_ref, v_ref, um_ref, out_ref, lse_ref,
          acc_ref, m_ref, l_ref) = refs
     s = pl.program_id(1)
-    h = 0 if lut_heads == 1 else jax.lax.rem(pl.program_id(0), heads)
+    bh = pl.program_id(0)
+    h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -354,16 +418,12 @@ def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
 
     q = q_ref[0]
     if stream:
-        kcat = jnp.concatenate([kr[0] for kr in ks], axis=0)
-        vcat = jnp.concatenate([vr[0] for vr in vs], axis=0)
-        vdt = vs[0].dtype
+        kcat, vcat = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
+                                    kidx_ref, h, s, S, bh, E, bs)
+        vdt = vbuf.dtype
     else:
-        kcat = jnp.concatenate(
-            [k_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)
-        vcat = jnp.concatenate(
-            [v_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)
+        kcat = _vmem_gather(k_ref, kidx_ref, h, s, E, bs)
+        vcat = _vmem_gather(v_ref, kidx_ref, h, s, E, bs)
         vdt = v_ref.dtype
     scores = jax.lax.dot_general(
         q, kcat, (((1,), (1,)), ((), ())),
@@ -403,44 +463,32 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    q_spec = pl.BlockSpec((1, bs, hs),
-                          lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0),
-                          memory_space=pltpu.VMEM)
-    uniq_spec = pl.BlockSpec(sched.muniq.shape,
-                             lambda bh, s, row, fi, la, ki, mc: (0, 0),
+    q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    uniq_spec = pl.BlockSpec(sched.muniq.shape, _fixed,
                              memory_space=pltpu.VMEM)
-    if stream:
-        slots = _slot_specs(E, bs, hs, S, lut_heads, heads)
-        in_specs = [q_spec] + slots + slots + [uniq_spec]
-        operands = (q,) + (k,) * E + (v,) * E
-    else:
-        whole = pl.BlockSpec((1, ctxk, hs),
-                             lambda bh, s, row, fi, la, ki, mc: (bh, 0, 0),
-                             memory_space=pltpu.VMEM)
-        in_specs = [q_spec, whole, whole, uniq_spec]
-        operands = (q, k, v)
+    in_specs = _sched_smem_specs() + [q_spec] \
+        + _kv_in_specs(ctxk, hs, stream) + [uniq_spec]
     out_specs = (
-        pl.BlockSpec((1, bs, hs),
-                     lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bs, 1),
-                     lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),
     )
+    scratch = [
+        pltpu.VMEM((bs, hs), jnp.float32),
+        pltpu.VMEM((bs, 1), jnp.float32),
+        pltpu.VMEM((bs, 1), jnp.float32),
+    ]
+    if stream:
+        scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(BH, S),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((bs, hs), jnp.float32),
-            pltpu.VMEM((bs, 1), jnp.float32),
-            pltpu.VMEM((bs, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     fn = pl.pallas_call(
         functools.partial(_attn_fwd_lse_kernel, E, bs, hs, scale, lut_heads,
-                          heads, precision, stream),
+                          heads, precision, stream, S),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((BH, ctxq, hs), q.dtype),
@@ -448,28 +496,21 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
         ),
         interpret=use_interpret(),
     )
-    kidx = sched.k_idx.reshape(-1) if stream \
-        else sched.k_idx.reshape(lut_heads, -1)
-    return fn(jnp.asarray(sched.row), jnp.asarray(sched.first),
-              jnp.asarray(sched.last), jnp.asarray(kidx),
-              jnp.asarray(sched.mcode.reshape(lut_heads, -1)),
-              *operands, jnp.asarray(sched.muniq))
+    return fn(*_sched_args(sched), q, k, v, jnp.asarray(sched.muniq))
 
 
 def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
-                    row_ref, first_ref, last_ref, kidx_ref, mcode_ref,
+                    S, row_ref, first_ref, last_ref, kidx_ref, mcode_ref,
                     *refs):
     if stream:
-        q_ref = refs[0]
-        ks = refs[1:1 + E]
-        vs = refs[1 + E:1 + 2 * E]
-        (do_ref, lse_ref, dvec_ref, um_ref, dq_ref,
-         acc_ref) = refs[1 + 2 * E:]
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, um_ref,
+         dq_ref, acc_ref, kbuf, vbuf, sems) = refs
     else:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dq_ref, acc_ref) = refs
     s = pl.program_id(1)
-    h = 0 if lut_heads == 1 else jax.lax.rem(pl.program_id(0), heads)
+    bh = pl.program_id(0)
+    h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -481,16 +522,12 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
     dvec = dvec_ref[0]                              # (bs, 1) f32
 
     if stream:
-        kcat = jnp.concatenate([kr[0] for kr in ks], axis=0)
-        vcat = jnp.concatenate([vr[0] for vr in vs], axis=0)
-        kdt = ks[0].dtype
+        kcat, vcat = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
+                                    kidx_ref, h, s, S, bh, E, bs)
+        kdt = kbuf.dtype
     else:
-        kcat = jnp.concatenate(
-            [k_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)            # (E*bs, hs)
-        vcat = jnp.concatenate(
-            [v_ref[0, pl.ds(kidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)
+        kcat = _vmem_gather(k_ref, kidx_ref, h, s, E, bs)   # (E*bs, hs)
+        vcat = _vmem_gather(v_ref, kidx_ref, h, s, E, bs)
         kdt = k_ref.dtype
 
     scores = jax.lax.dot_general(
@@ -515,20 +552,17 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
 
 
 def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
-                     row_ref, first_ref, last_ref, qidx_ref, mcode_ref,
+                     S, row_ref, first_ref, last_ref, qidx_ref, mcode_ref,
                      *refs):
     if stream:
-        k_ref, v_ref = refs[0], refs[1]
-        qs = refs[2:2 + E]
-        dos = refs[2 + E:2 + 2 * E]
-        lses = refs[2 + 2 * E:2 + 3 * E]
-        dvecs = refs[2 + 3 * E:2 + 4 * E]
-        um_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs[2 + 4 * E:]
+        (k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, um_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc, qbuf, dobuf, sems) = refs
     else:
         (k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
     s = pl.program_id(1)
-    h = 0 if lut_heads == 1 else jax.lax.rem(pl.program_id(0), heads)
+    bh = pl.program_id(0)
+    h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -539,25 +573,17 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
     vb = v_ref[0]
 
     if stream:
-        qcat = jnp.concatenate([r[0] for r in qs], axis=0)
-        docat = jnp.concatenate([r[0] for r in dos], axis=0)
-        lsecat = jnp.concatenate([r[0] for r in lses], axis=0)
-        dveccat = jnp.concatenate([r[0] for r in dvecs], axis=0)
-        qdt, dodt = qs[0].dtype, dos[0].dtype
+        qcat, docat = _stream_gather([q_ref, do_ref], [qbuf, dobuf], sems,
+                                     qidx_ref, h, s, S, bh, E, bs)
+        qdt, dodt = qbuf.dtype, dobuf.dtype
     else:
-        qcat = jnp.concatenate(
-            [q_ref[0, pl.ds(qidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)            # (E*bs, hs)
-        docat = jnp.concatenate(
-            [do_ref[0, pl.ds(qidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)
-        lsecat = jnp.concatenate(
-            [lse_ref[0, pl.ds(qidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)            # (E*bs, 1)
-        dveccat = jnp.concatenate(
-            [dvec_ref[0, pl.ds(qidx_ref[h, s * E + i] * bs, bs), :]
-             for i in range(E)], axis=0)
+        qcat = _vmem_gather(q_ref, qidx_ref, h, s, E, bs)   # (E*bs, hs)
+        docat = _vmem_gather(do_ref, qidx_ref, h, s, E, bs)
         qdt, dodt = q_ref.dtype, do_ref.dtype
+    # lse/dvec ride whole-VMEM in (ctx_blks, bs) block-row form in both
+    # modes (tiny; see _row_gather for why not (ctx, 1))
+    lsecat = _row_gather(lse_ref, qidx_ref, h, s, E, bs)    # (1, E*bs)
+    dveccat = _row_gather(dvec_ref, qidx_ref, h, s, E, bs)
 
     # scores^T: (bs_k, E*bs_q)
     s_t = jax.lax.dot_general(
@@ -565,7 +591,7 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
         preferred_element_type=jnp.float32, precision=precision) * scale
     mask_t = _gen_mask(mcode_ref, um_ref, h, s, E, bs)  # (bs_k, E*bs_q)
     s_t = jnp.where(mask_t != 0, s_t, _NEG_INF)
-    p_t = jnp.exp(s_t - lsecat.reshape(1, -1))      # (bs_k, E*bs_q)
+    p_t = jnp.exp(s_t - lsecat)                     # (bs_k, E*bs_q)
 
     dv_acc[...] += jax.lax.dot_general(
         p_t.astype(dodt), docat, (((1,), (0,)), ((), ())),
@@ -574,7 +600,7 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
     dp_t = jax.lax.dot_general(
         vb, docat, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
-    ds_t = p_t * (dp_t - dveccat.reshape(1, -1)) * scale
+    ds_t = p_t * (dp_t - dveccat) * scale
 
     dk_acc[...] += jax.lax.dot_general(
         ds_t.astype(qdt), qcat, (((1,), (0,)), ((), ())),
@@ -591,7 +617,7 @@ def fused_attention_bwd(q, k, v, out, lse, do, sched_nn: AttnSchedule,
                         precision=None, stream=False):
     """Returns (dq, dk, dv).  sched_nn walks query rows (same schedule as
     forward); sched_tn walks key rows with transposed masks.  stream=True
-    trades whole-tensor VMEM residency for per-step slot DMA."""
+    trades whole-tensor VMEM residency for explicit DMA gather."""
     # D = rowsum(do * out) per query position
     dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                    axis=-1, keepdims=True)          # (BH, ctxq, 1)
@@ -622,49 +648,36 @@ def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,
                      else jax.lax.Precision.DEFAULT)
     E = sched_nn.E
     S = sched_nn.num_steps
-    row_blk = lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0)
-    whole_k = lambda bh, s, row, fi, la, ki, mc: (bh, 0, 0)
-    uniq_ix = lambda bh, s, row, fi, la, ki, mc: (0, 0)
-    q_spec = pl.BlockSpec((1, bs, hs), row_blk, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
     small = [
-        pl.BlockSpec((1, bs, hs), row_blk, memory_space=pltpu.VMEM),   # do
-        pl.BlockSpec((1, bs, 1), row_blk, memory_space=pltpu.VMEM),    # lse
-        pl.BlockSpec((1, bs, 1), row_blk, memory_space=pltpu.VMEM),    # dvec
-        pl.BlockSpec(sched_nn.muniq.shape, uniq_ix,
+        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # do
+        pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),    # lse
+        pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),    # dvec
+        pl.BlockSpec(sched_nn.muniq.shape, _fixed,
                      memory_space=pltpu.VMEM),
     ]
+    in_specs = _sched_smem_specs() + [q_spec] \
+        + _kv_in_specs(ctxk, hs, stream) + small
+    scratch = [pltpu.VMEM((bs, hs), jnp.float32)]
     if stream:
-        slots = _slot_specs(E, bs, hs, S, lut_heads, heads)
-        in_specs = [q_spec] + slots + slots + small
-        operands = (q,) + (k,) * E + (v,) * E
-        kidx_nn = sched_nn.k_idx.reshape(-1)
-    else:
-        in_specs = [
-            q_spec,
-            pl.BlockSpec((1, ctxk, hs), whole_k, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctxk, hs), whole_k, memory_space=pltpu.VMEM),
-        ] + small
-        operands = (q, k, v)
-        kidx_nn = sched_nn.k_idx.reshape(lut_heads, -1)
+        scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(BH, S),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bs, hs), row_blk,
+        out_specs=pl.BlockSpec((1, bs, hs), _row_blk,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bs, hs), jnp.float32)],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_attn_dq_kernel, E, bs, hs, scale, lut_heads,
-                          heads, precision, stream),
+                          heads, precision, stream, S),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, ctxq, hs),
                                        out_dtype or q.dtype),
         interpret=use_interpret(),
-    )(jnp.asarray(sched_nn.row), jnp.asarray(sched_nn.first),
-      jnp.asarray(sched_nn.last), jnp.asarray(kidx_nn),
-      jnp.asarray(sched_nn.mcode.reshape(lut_heads, -1)),
-      *operands, do, lse, dvec, jnp.asarray(sched_nn.muniq))
+    )(*_sched_args(sched_nn), q, k, v, do, lse, dvec,
+      jnp.asarray(sched_nn.muniq))
 
 
 def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
@@ -681,57 +694,59 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
                      else jax.lax.Precision.DEFAULT)
     E2 = sched_tn.E
     S2 = sched_tn.num_steps
-    row_blk2 = lambda bh, s, row, fi, la, ki, mc: (bh, row[s], 0)
-    whole_q = lambda bh, s, row, fi, la, ki, mc: (bh, 0, 0)
-    uniq_ix2 = lambda bh, s, row, fi, la, ki, mc: (0, 0)
+    ctx_blks_q = ctxq // bs
+    # block-row (ctx_blks, bs) layout for the per-position scalars; a
+    # (ctx, 1) whole-VMEM operand would tile-pad each position's row to
+    # 128 lanes (8 MB at ctx 16K)
+    lse2 = lse.reshape(BH, ctx_blks_q, bs)
+    dvec2 = dvec.reshape(BH, ctx_blks_q, bs)
     kv_specs = [
-        pl.BlockSpec((1, bs, hs), row_blk2, memory_space=pltpu.VMEM),   # k
-        pl.BlockSpec((1, bs, hs), row_blk2, memory_space=pltpu.VMEM),   # v
+        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # k
+        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # v
     ]
-    uniq2 = pl.BlockSpec(sched_tn.muniq.shape, uniq_ix2,
+    scal_specs = [
+        pl.BlockSpec((1, ctx_blks_q, bs), _whole,
+                     memory_space=pltpu.VMEM),                          # lse
+        pl.BlockSpec((1, ctx_blks_q, bs), _whole,
+                     memory_space=pltpu.VMEM),                          # dvec
+    ]
+    uniq2 = pl.BlockSpec(sched_tn.muniq.shape, _fixed,
                          memory_space=pltpu.VMEM)
     if stream:
-        qslots = _slot_specs(E2, bs, hs, S2, lut_heads, heads)
-        oneslots = [pl.BlockSpec((1, bs, 1), sp.index_map,
-                                 memory_space=pltpu.VMEM) for sp in qslots]
-        in_specs2 = kv_specs + qslots + qslots + oneslots + oneslots \
-            + [uniq2]
-        operands2 = (k, v) + (q,) * E2 + (do,) * E2 + (lse,) * E2 \
-            + (dvec,) * E2
-        kidx_tn = sched_tn.k_idx.reshape(-1)
+        qdo_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
     else:
-        in_specs2 = kv_specs + [
-            pl.BlockSpec((1, ctxq, hs), whole_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctxq, hs), whole_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctxq, 1), whole_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctxq, 1), whole_q, memory_space=pltpu.VMEM),
-        ] + [uniq2]
-        operands2 = (k, v, q, do, lse, dvec)
-        kidx_tn = sched_tn.k_idx.reshape(lut_heads, -1)
+        qdo_specs = [
+            pl.BlockSpec((1, ctxq, hs), _whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctxq, hs), _whole, memory_space=pltpu.VMEM),
+        ]
+    in_specs2 = _sched_smem_specs() + kv_specs + qdo_specs \
+        + scal_specs + [uniq2]
+    scratch2 = [pltpu.VMEM((bs, hs), jnp.float32),
+                pltpu.VMEM((bs, hs), jnp.float32)]
+    if stream:
+        scratch2 += _kv_stream_scratch(E2, bs, hs, q.dtype)
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(BH, S2),
         in_specs=in_specs2,
         out_specs=(
-            pl.BlockSpec((1, bs, hs), row_blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, hs), row_blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((bs, hs), jnp.float32),
-                        pltpu.VMEM((bs, hs), jnp.float32)],
+        scratch_shapes=scratch2,
     )
     return pl.pallas_call(
         functools.partial(_attn_dkv_kernel, E2, bs, hs, scale, lut_heads,
-                          heads, precision, stream),
+                          heads, precision, stream, S2),
         grid_spec=grid_spec2,
         out_shape=(jax.ShapeDtypeStruct((BH, ctxk, hs),
                                         out_dtype or k.dtype),
                    jax.ShapeDtypeStruct((BH, ctxk, hs),
                                         out_dtype or v.dtype)),
         interpret=use_interpret(),
-    )(jnp.asarray(sched_tn.row), jnp.asarray(sched_tn.first),
-      jnp.asarray(sched_tn.last), jnp.asarray(kidx_tn),
-      jnp.asarray(sched_tn.mcode.reshape(lut_heads, -1)),
-      *operands2, jnp.asarray(sched_tn.muniq))
+    )(*_sched_args(sched_tn), k, v, q, do, lse2, dvec2,
+      jnp.asarray(sched_tn.muniq))
 
 
 def build_attn_schedule_tn(tn_list_per_head, nt_list_per_head, ctx_blks_k,

@@ -573,3 +573,39 @@ def test_fused_bwd_long_ctx_large_bh_compiles():
     jax.block_until_ready(g)
     assert g.shape == Q.shape
     assert bool(jnp.isfinite(jnp.sum(g.astype(jnp.float32))))
+
+
+def test_fused_attention_streamed_per_head_layouts():
+    """stream mode with per-head LUTs: the DMA gather indexes the
+    schedule by h = bh % heads, so each head must fetch its own blocks."""
+    from blocksparse_tpu.kernels import bst_attn
+
+    heads, ctx_blks, batch, hs, bsize = 2, 4, 2, 16, 16
+    lays = []
+    for h in range(heads):
+        lay = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+        lay[3, 1 + h] = 0
+        lays.append(lay)
+    bst = BlocksparseTransformer(np.stack(lays), block_size=bsize,
+                                 heads=heads,
+                                 mask_callback=causal_subblock_mask)
+    rng = np.random.RandomState(3)
+    ctx = ctx_blks * bsize
+    BH = batch * heads
+    Q = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    K = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    V = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    dO = jnp.asarray(rng.uniform(-1, 1, (BH, ctx, hs)), jnp.float32)
+    sched, sched_tn = bst.attn_schedule, bst.attn_schedule_tn
+    y0, l0 = bst_attn.fused_attention_fwd_lse(Q, K, V, sched, heads, 0.2,
+                                              stream=False)
+    y1, l1 = bst_attn.fused_attention_fwd_lse(Q, K, V, sched, heads, 0.2,
+                                              stream=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), atol=1e-5)
+    g0 = bst_attn.fused_attention_bwd(Q, K, V, y0, l0, dO, sched, sched_tn,
+                                      heads, 0.2, stream=False)
+    g1 = bst_attn.fused_attention_bwd(Q, K, V, y1, l1, dO, sched, sched_tn,
+                                      heads, 0.2, stream=True)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

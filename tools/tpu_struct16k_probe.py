@@ -40,6 +40,12 @@ def main():
     p.add_argument("--N", type=int, default=2048)
     p.add_argument("--bsizes", type=str, default="128,64,32")
     p.add_argument("--density", type=float, default=0.25)
+    p.add_argument("--modes", type=str, default="dense_tile",
+                   help="comma list of kernel modes; 'window' streams x "
+                        "once per (super-group, window) — the x-traffic "
+                        "fix for the banded crossover at hidden 8192")
+    p.add_argument("--tag", type=str, default=None,
+                   help="result file tag (default struct<hidden//1024>k)")
     args = p.parse_args()
 
     hidden, N = args.hidden, args.N
@@ -63,14 +69,17 @@ def main():
     for bs in [int(b) for b in args.bsizes.split(",")]:
         nb = hidden // bs
         lay = make_layout("banded", nb, args.density, rng)
-        bsmm = BlocksparseMatMul(lay, block_size=bs, feature_axis=0,
-                                 w_layout="fprop_packed")
-        Wc = rng.uniform(-0.1, 0.1, (bsmm.blocks, bs, bs)).astype(np.float32)
-        W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
-        x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
-        jobs.append((lambda x, w, b=bsmm: b(x, w).astype(dtype), x0, W))
-        labels.append(f"banded_b{bs}")
-        keep.append((bs, bsmm))
+        for mode in args.modes.split(","):
+            bsmm = BlocksparseMatMul(lay, block_size=bs, feature_axis=0,
+                                     w_layout="fprop_packed", mode=mode)
+            Wc = rng.uniform(-0.1, 0.1,
+                             (bsmm.blocks, bs, bs)).astype(np.float32)
+            W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
+            x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
+            jobs.append((lambda x, w, b=bsmm: b(x, w).astype(dtype),
+                         x0, W))
+            labels.append(f"banded_b{bs}_{mode}")
+            keep.append((bs, bsmm))
 
     on_tpu = jax.default_backend() == "tpu"
     times, anchor = bench_slope(jobs, chains=(2, 6), iters=4,
@@ -100,9 +109,10 @@ def main():
            "anchor_ms": anchor["anchor_ms"],
            "timing_valid": anchor["timing_valid"],
            "backend": jax.default_backend(), "rows": rows}
-    with open(result_path("struct16k"), "w") as f:
+    tag = args.tag or f"struct{hidden // 1024}k"
+    with open(result_path(tag), "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote", result_path("struct16k"))
+    print("wrote", result_path(tag))
 
 
 if __name__ == "__main__":

@@ -17,6 +17,11 @@ Parallelism (beyond the reference, which was data-parallel only):
   along ctx; attention runs `sequence_parallel_attention` (all-gathered
   K/V, per-shard fused-kernel schedules, psum_scatter dK/dV); everything
   else is per-position and stays local.  Composes with dp and tp.
+* pp: GPipe pipeline parallelism — layer params stacked (leading
+  n_layer dim) and sharded over "pp"; microbatches stream through the
+  stages via parallel.pipeline.gpipe (scan + ppermute; the backward
+  pipeline is jax.grad's transpose).  Composes with dp and tp
+  (tp psums run inside each stage).
 
 All functions are pure; parameters are a flat dict pytree with a
 matching PartitionSpec tree for shard_map.
@@ -107,6 +112,10 @@ class TransformerConfig:
     tp: int = 1                       # tensor-parallel shards
     sp: int = 1                       # sequence(context)-parallel shards
     sp_mode: str = "gather"           # "gather" (all-gather K/V) | "ring"
+    pp: int = 1                       # pipeline stages
+    pp_microbatch: int = 0            # microbatches (0 => pp)
+    stack_layers: bool = False        # stacked layer params + lax.scan
+                                      # (forced on when pp > 1)
 
 
 class SparseTransformerLM:
@@ -119,6 +128,11 @@ class SparseTransformerLM:
         assert c.n_head % c.tp == 0
         assert (c.ctx // c.blk_size) % c.sp == 0, \
             "ctx block-rows must divide by sp shards"
+        assert c.n_layer % c.pp == 0, (c.n_layer, c.pp)
+        assert not (c.pp > 1 and c.sp > 1), \
+            "pp x sp composition not supported (pick one of pipeline/" \
+            "sequence parallelism; both compose with dp and tp)"
+        self.stack = c.stack_layers or c.pp > 1
         self.heads_local = c.n_head // c.tp
         self.hs = c.n_embd // c.n_head
         ctx_blks = c.ctx // c.blk_size
@@ -159,6 +173,7 @@ class SparseTransformerLM:
             "lnf_g": jnp.ones((c.n_embd,)),
             "lnf_b": jnp.zeros((c.n_embd,)),
         }
+        layers = []
         for l in range(c.n_layer):
             k = keys[4 + 4 * l: 8 + 4 * l]
             proj_std = std / np.sqrt(2 * c.n_layer)
@@ -188,8 +203,22 @@ class SparseTransformerLM:
                     k[3], (self.hidden, c.n_embd)) * proj_std
             layer["b_fc"] = jnp.zeros((self.hidden,))
             layer["b_proj"] = jnp.zeros((c.n_embd,))
-            params[f"h{l}"] = layer
+            layers.append(layer)
+        if self.stack:
+            # one stacked pytree, leading dim n_layer (sharded over
+            # "pp" when pp > 1; scanned over otherwise)
+            params["hs"] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *layers)
+        else:
+            for l, layer in enumerate(layers):
+                params[f"h{l}"] = layer
         return params
+
+    def _layer(self, params, l):
+        """Layer l's param dict, whether stacked or flat (decode paths)."""
+        if self.stack:
+            return jax.tree_util.tree_map(lambda a: a[l], params["hs"])
+        return params[f"h{l}"]
 
     def param_specs(self):
         """PartitionSpec tree for shard_map over mesh axes (dp, tp)."""
@@ -200,21 +229,27 @@ class SparseTransformerLM:
             "lnf_g": P(None),
             "lnf_b": P(None),
         }
-        for l in range(c.n_layer):
-            layer = {
-                "ln1_g": P(None), "ln1_b": P(None),
-                "ln2_g": P(None), "ln2_b": P(None),
-                "w_qkv": P(None, "tp"), "b_qkv": P("tp"),
-                "w_out": P("tp", None), "b_out": P(None),
-                "b_fc": P("tp"), "b_proj": P(None),
-            }
-            if self.bsmm1 is not None:
-                layer["w_fc"] = P("tp", None, None, None)
-                layer["w_proj"] = P("tp", None, None, None)
-            else:
-                layer["w_fc"] = P(None, "tp")
-                layer["w_proj"] = P("tp", None)
-            spec[f"h{l}"] = layer
+        layer = {
+            "ln1_g": P(None), "ln1_b": P(None),
+            "ln2_g": P(None), "ln2_b": P(None),
+            "w_qkv": P(None, "tp"), "b_qkv": P("tp"),
+            "w_out": P("tp", None), "b_out": P(None),
+            "b_fc": P("tp"), "b_proj": P(None),
+        }
+        if self.bsmm1 is not None:
+            layer["w_fc"] = P("tp", None, None, None)
+            layer["w_proj"] = P("tp", None, None, None)
+        else:
+            layer["w_fc"] = P(None, "tp")
+            layer["w_proj"] = P("tp", None)
+        if self.stack:
+            lead = "pp" if c.pp > 1 else None
+            spec["hs"] = jax.tree_util.tree_map(
+                lambda p: P(*((lead,) + tuple(p))), layer,
+                is_leaf=lambda x: isinstance(x, P))
+        else:
+            for l in range(c.n_layer):
+                spec[f"h{l}"] = dict(layer)
         return spec
 
     def grad_reduce_axes(self, include_sp=False):
@@ -222,15 +257,41 @@ class SparseTransformerLM:
         params reduce over dp (their tp shards hold distinct grads);
         replicated params additionally over tp (partial sums).  With
         sequence parallelism every param also reduces over sp (each ctx
-        shard contributes a partial of the position-mean)."""
+        shard contributes a partial of the position-mean).  With
+        pipeline parallelism, non-stage params (embeddings, final LN)
+        additionally reduce over pp — exact because loss_pp scales the
+        per-shard loss by 1/pp (parallel/pipeline.py docstring);
+        pp-sharded stage stacks hold distinct layers and never reduce
+        over pp."""
         specs = self.param_specs()
         sp = ("sp",) if include_sp else ()
+        pp = self.config.pp > 1
 
         def axes(p):
             named = {a for s in p if s for a in (s if isinstance(s, tuple)
                                                 else (s,))}
             base = ("dp",) if "tp" in named else ("dp", "tp")
+            if pp and "pp" not in named:
+                base = base + ("pp",)
             return base + sp
+        return jax.tree_util.tree_map(axes, specs,
+                                      is_leaf=lambda x: isinstance(x, P))
+
+    def param_shard_axes(self):
+        """Mesh axes each param is SHARDED over (distinct values per
+        shard).  The global grad norm must psum each such param's
+        squared contribution over these axes — a shard-local norm would
+        give tp/pp shards different norm_scale values and silently
+        diverge the replicated params once clipping activates."""
+        specs = self.param_specs()
+
+        def axes(p):
+            out = []
+            for s in p:
+                for a in (s if isinstance(s, tuple) else (s,)) if s else ():
+                    if a not in out:
+                        out.append(a)
+            return tuple(out)
         return jax.tree_util.tree_map(axes, specs,
                                       is_leaf=lambda x: isinstance(x, P))
 
@@ -315,7 +376,7 @@ class SparseTransformerLM:
         x = x.astype(jnp.float32)
         caches = []
         for l in range(c.n_layer):
-            layer = params[f"h{l}"]
+            layer = self._layer(params, l)
             h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], axis=-1)
             h = float_cast(h, nd)
             qkv = h @ float_cast(layer["w_qkv"], nd) \
@@ -360,7 +421,7 @@ class SparseTransformerLM:
         x = x.astype(jnp.float32)                    # (batch, 1, embd)
         new_caches = []
         for l in range(c.n_layer):
-            layer = params[f"h{l}"]
+            layer = self._layer(params, l)
             cache = caches[l]
             h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], axis=-1)
             h = float_cast(h, nd)
@@ -402,23 +463,85 @@ class SparseTransformerLM:
         x = embedding_lookup(params["wte"], tokens) + wpe[None]
         x = x.astype(jnp.float32)
 
-        keys = (jax.random.split(dropout_key, c.n_layer)
-                if dropout_key is not None else [None] * c.n_layer)
-        for l in range(c.n_layer):
-            blk = lambda x, layer=params[f"h{l}"], k=keys[l]: \
-                self._block(layer, x, nd, tp_axis, drop_key=k,
-                            sp_axis=sp_axis)
-            if c.recompute:
-                x = jax.checkpoint(blk)(x)
-            else:
-                x = blk(x)
+        if self.stack:
+            x = self._scan_layers(params["hs"], x, nd, tp_axis,
+                                  dropout_key, sp_axis=sp_axis)
+        else:
+            keys = (jax.random.split(dropout_key, c.n_layer)
+                    if dropout_key is not None else [None] * c.n_layer)
+            for l in range(c.n_layer):
+                blk = lambda x, layer=params[f"h{l}"], k=keys[l]: \
+                    self._block(layer, x, nd, tp_axis, drop_key=k,
+                                sp_axis=sp_axis)
+                if c.recompute:
+                    x = jax.checkpoint(blk)(x)
+                else:
+                    x = blk(x)
 
         h = layer_norm(x, params["lnf_g"], params["lnf_b"], axis=-1)
         logits = h.astype(nd) @ float_cast(params["wte"], nd).T
         return logits.astype(jnp.float32)
 
+    def _scan_layers(self, hs, x, nd, tp_axis, dropout_key, sp_axis=None,
+                     layer0=0):
+        """Apply a stacked layer slice with lax.scan (one traced block
+        body regardless of depth — bounds compile time and is the stage
+        function under pipeline parallelism).  layer0 offsets the
+        dropout fold-in so pp stages draw distinct per-layer keys."""
+        L = jax.tree_util.tree_leaves(hs)[0].shape[0]
+
+        def body(x, inp):
+            layer, i = inp
+            k = (jax.random.fold_in(dropout_key, layer0 + i)
+                 if dropout_key is not None else None)
+            blk = lambda x: self._block(layer, x, nd, tp_axis,
+                                        drop_key=k, sp_axis=sp_axis)
+            x = jax.checkpoint(blk)(x) if self.config.recompute else blk(x)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (hs, jnp.arange(L)))
+        return x
+
+    def loss_pp(self, params, tokens, targets, pp_axis, tp_axis=None,
+                dropout_key=None):
+        """Pipelined loss: returns the TRUE loss / pp on every shard
+        (psum over pp in the caller restores the value and makes a
+        plain psum-over-pp gradient reduction exact for the shared
+        params — see parallel/pipeline.py docstring)."""
+        from blocksparse_tpu.parallel import pipeline as pl
+        c = self.config
+        nd = jnp.dtype(c.dtype)
+        S = c.pp
+        n_micro = c.pp_microbatch or S
+        L = tokens.shape[1]
+        wpe = params["wpe"][:L]
+        x = embedding_lookup(params["wte"], tokens) + wpe[None]
+        x = x.astype(jnp.float32)
+        xm = pl.microbatch(x, n_micro)
+
+        l_loc = c.n_layer // S
+        layer0 = jax.lax.axis_index(pp_axis) * l_loc
+
+        def stage_fn(hs, h):
+            return self._scan_layers(hs, h, nd, tp_axis, dropout_key,
+                                     layer0=layer0)
+
+        ym = pl.gpipe(stage_fn, params["hs"], xm, axis=pp_axis,
+                      n_stages=S)
+        ym = pl.broadcast_from_last(ym, axis=pp_axis, n_stages=S)
+        y = pl.unmicrobatch(ym)
+
+        h = layer_norm(y, params["lnf_g"], params["lnf_b"], axis=-1)
+        logits = (h.astype(nd) @ float_cast(params["wte"], nd).T)
+        losses = softmax_cross_entropy(logits=logits.astype(jnp.float32),
+                                       labels=targets)
+        return jnp.mean(losses) / S
+
     def loss(self, params, tokens, targets, tp_axis=None, sp_axis=None,
-             dropout_key=None):
+             pp_axis=None, dropout_key=None):
+        if pp_axis is not None and self.config.pp > 1:
+            return self.loss_pp(params, tokens, targets, pp_axis,
+                                tp_axis=tp_axis, dropout_key=dropout_key)
         logits = self.forward(params, tokens, tp_axis=tp_axis,
                               sp_axis=sp_axis, dropout_key=dropout_key)
         losses = softmax_cross_entropy(logits=logits, labels=targets)
@@ -437,10 +560,11 @@ class SparseTransformerLM:
         model = self
 
         def local_step(params, opt_state, tokens, targets, loss_scale,
-                       dp_axis=None, tp_axis=None, sp_axis=None):
+                       dp_axis=None, tp_axis=None, sp_axis=None,
+                       pp_axis=None):
             def scaled_loss(p):
                 l = model.loss(p, tokens, targets, tp_axis=tp_axis,
-                               sp_axis=sp_axis)
+                               sp_axis=sp_axis, pp_axis=pp_axis)
                 return l * loss_scale
 
             loss_val, grads = jax.value_and_grad(scaled_loss)(params)
@@ -456,13 +580,34 @@ class SparseTransformerLM:
                 if sp_axis is not None:
                     nshards = nshards * jax.lax.psum(1, sp_axis)
                     loss_val = jax.lax.pmean(loss_val, sp_axis)
+                if pp_axis is not None:
+                    # loss_pp returns true_loss/pp per shard
+                    loss_val = jax.lax.psum(loss_val, pp_axis)
                 grads = jax.tree_util.tree_map(lambda g: g / nshards, grads)
                 loss_val = jax.lax.pmean(loss_val, dp_axis)
 
-            gn, norm_scale = opt.clip_by_global_norm(
-                jax.tree_util.tree_leaves(grads), clip_norm=clip_norm,
-                grad_scale=1.0 / loss_scale, zero_infs=False,
-                zero_nans=False)
+            if dp_axis is not None:
+                # Cross-shard global norm: psum each SHARDED param's
+                # squared sum over its sharding axes so every shard
+                # computes the same norm_scale (see param_shard_axes).
+                gs = (1.0 / loss_scale).astype(jnp.float32)
+                sqs = jax.tree_util.tree_map(
+                    lambda g: jnp.sum(
+                        jnp.square(g.astype(jnp.float32) * gs)), grads)
+                sqs = jax.tree_util.tree_map(
+                    lambda s, ax: jax.lax.psum(s, ax) if ax else s,
+                    sqs, model.param_shard_axes())
+                total = sum(jax.tree_util.tree_leaves(sqs),
+                            jnp.zeros((), jnp.float32))
+                gn = jnp.sqrt(total)
+                clip = jnp.asarray(clip_norm, jnp.float32)
+                norm_scale = clip / jnp.maximum(gn, clip)
+                norm_scale = jnp.where(jnp.isfinite(gn), norm_scale, 0.0)
+            else:
+                gn, norm_scale = opt.clip_by_global_norm(
+                    jax.tree_util.tree_leaves(grads), clip_norm=clip_norm,
+                    grad_scale=1.0 / loss_scale, zero_infs=False,
+                    zero_nans=False)
 
             new_params, new_state = optimizer.apply(
                 grads, params, opt_state, norm_scale=norm_scale,
@@ -493,9 +638,16 @@ class SparseTransformerLM:
                 "config.sp > 1 needs an 'sp' mesh axis (make_mesh(sp=N))"
             assert mesh.shape["sp"] == self.config.sp, \
                 (mesh.shape, self.config.sp)
+        use_pp = self.config.pp > 1
+        if use_pp:
+            assert "pp" in mesh.axis_names, \
+                "config.pp > 1 needs a 'pp' mesh axis (make_mesh(pp=N))"
+            assert mesh.shape["pp"] == self.config.pp, \
+                (mesh.shape, self.config.pp)
         tok_spec = P("dp", "sp") if use_sp else P("dp", None)
         step = partial(local_step, dp_axis="dp", tp_axis="tp",
-                       sp_axis="sp" if use_sp else None)
+                       sp_axis="sp" if use_sp else None,
+                       pp_axis="pp" if use_pp else None)
         smapped = shard_map(
             step, mesh=mesh,
             in_specs=(pspecs, opt_specs, tok_spec, tok_spec, P()),

@@ -19,3 +19,9 @@ from blocksparse_tpu.parallel.sequence import (
     build_sp_schedules,
     build_ring_schedules,
 )
+from blocksparse_tpu.parallel.pipeline import (
+    gpipe,
+    broadcast_from_last,
+    microbatch,
+    unmicrobatch,
+)

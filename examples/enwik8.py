@@ -79,21 +79,26 @@ def main():
     p.add_argument("--sp_mode", type=str, default="gather",
                    choices=("gather", "ring"),
                    help="sp K/V exchange: all-gather or ring ppermute")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages (GPipe over the pp mesh axis)")
+    p.add_argument("--pp_microbatch", type=int, default=0,
+                   help="pipeline microbatches (0 => pp)")
     args = p.parse_args()
 
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
                            else "float32")
     n_dev = jax.device_count()
-    if n_dev % (args.tp * args.sp) != 0:
+    model_par = args.tp * args.sp * args.pp
+    if n_dev % model_par != 0:
         raise SystemExit(
-            f"--tp {args.tp} x --sp {args.sp} must divide the device "
-            f"count ({n_dev})")
-    # data-parallel over the devices left after tp x sp, when the batch
-    # divides cleanly
-    rest = n_dev // (args.tp * args.sp)
+            f"--tp {args.tp} x --sp {args.sp} x --pp {args.pp} must "
+            f"divide the device count ({n_dev})")
+    # data-parallel over the devices left after tp x sp x pp, when the
+    # batch divides cleanly
+    rest = n_dev // model_par
     dp = rest if rest > 0 and args.n_batch % rest == 0 else 1
-    mesh_devices = jax.devices()[:dp * args.tp * args.sp]
-    if dp * args.tp * args.sp < n_dev:
+    mesh_devices = jax.devices()[:dp * model_par]
+    if dp * model_par < n_dev:
         print(f"note: n_batch {args.n_batch} not divisible by {rest}; "
               f"using {len(mesh_devices)}/{n_dev} devices (dp={dp})")
 
@@ -102,7 +107,8 @@ def main():
         n_head=args.n_head, ctx=args.n_ctx, blk_size=args.blk_size,
         attn_layout=args.attn_layout, local_blocks=8, mlp_ratio=4,
         dtype=dtype, recompute=True, tp=args.tp, sp=args.sp,
-        sp_mode=args.sp_mode)
+        sp_mode=args.sp_mode, pp=args.pp,
+        pp_microbatch=args.pp_microbatch)
     model = SparseTransformerLM(cfg)
     print(f"model: {cfg.n_layer}L x {cfg.n_embd}d ctx {cfg.ctx} "
           f"attn blocks {model.bst.blocks} | devices {n_dev}")
@@ -111,8 +117,8 @@ def main():
     optm = AdamOptimizer(learning_rate=args.lr, zero_nans=True,
                          zero_infs=True)
     opt_state = optm.init(params)
-    use_mesh = dp > 1 or args.tp > 1 or args.sp > 1
-    mesh = (make_mesh(dp=dp, tp=args.tp, sp=args.sp,
+    use_mesh = dp > 1 or args.tp > 1 or args.sp > 1 or args.pp > 1
+    mesh = (make_mesh(dp=dp, tp=args.tp, sp=args.sp, pp=args.pp,
                       devices=mesh_devices) if use_mesh else None)
     step_fn = model.make_train_step(optm, mesh=mesh)
 

@@ -109,6 +109,10 @@ from blocksparse_tpu import nccl
 from blocksparse_tpu import sparsity
 from blocksparse_tpu import profiling
 
+from blocksparse_tpu.ops.moe import (
+    BlocksparseMoE,
+    route_topk,
+)
 from blocksparse_tpu.ops.norms import (
     layer_norm,
     batch_norm,

@@ -116,6 +116,12 @@ class TransformerConfig:
     pp_microbatch: int = 0            # microbatches (0 => pp)
     stack_layers: bool = False        # stacked layer params + lax.scan
                                       # (forced on when pp > 1)
+    moe_experts: int = 0              # >0: MoE MLP (Switch/GShard),
+                                      # block-sparse when mlp_block_size
+    moe_k: int = 1                    # experts per token
+    moe_capacity_factor: float = 1.25
+    moe_aux_coef: float = 0.01        # load-balance loss coefficient
+    ep: int = 1                       # expert-parallel shards
 
 
 class SparseTransformerLM:
@@ -146,7 +152,21 @@ class SparseTransformerLM:
 
         self.hidden = c.mlp_ratio * c.n_embd
         self.hidden_local = self.hidden // c.tp
-        if c.mlp_block_size:
+        if c.moe_experts:
+            assert c.tp == 1 and c.pp == 1 and c.sp == 1, \
+                "MoE composes with dp x ep (tp/pp/sp + MoE: round 4)"
+            assert c.moe_experts % c.ep == 0, (c.moe_experts, c.ep)
+            from blocksparse_tpu.ops.moe import BlocksparseMoE
+            self.moe = BlocksparseMoE(
+                c.moe_experts, c.n_embd, self.hidden,
+                block_size=c.mlp_block_size, density=c.mlp_density,
+                capacity_factor=c.moe_capacity_factor, k=c.moe_k,
+                ep=c.ep)
+            self.bsmm1 = self.bsmm2 = None
+        else:
+            assert c.ep == 1, "ep needs moe_experts > 0"
+            self.moe = None
+        if c.mlp_block_size and not c.moe_experts:
             bs = c.mlp_block_size
             CB = c.n_embd // bs
             KB = self.hidden_local // bs
@@ -191,7 +211,9 @@ class SparseTransformerLM:
                     k[1], (c.n_embd, c.n_embd)) * proj_std,
                 "b_out": jnp.zeros((c.n_embd,)),
             }
-            if self.bsmm1 is not None:
+            if self.moe is not None:
+                layer["moe"] = self.moe.init(k[2])
+            elif self.bsmm1 is not None:
                 layer["w_fc"] = jax.random.normal(
                     k[2], (c.tp,) + self.bsmm1.w_shape) * std
                 layer["w_proj"] = jax.random.normal(
@@ -201,8 +223,9 @@ class SparseTransformerLM:
                     k[2], (c.n_embd, self.hidden)) * std
                 layer["w_proj"] = jax.random.normal(
                     k[3], (self.hidden, c.n_embd)) * proj_std
-            layer["b_fc"] = jnp.zeros((self.hidden,))
-            layer["b_proj"] = jnp.zeros((c.n_embd,))
+            if self.moe is None:
+                layer["b_fc"] = jnp.zeros((self.hidden,))
+                layer["b_proj"] = jnp.zeros((c.n_embd,))
             layers.append(layer)
         if self.stack:
             # one stacked pytree, leading dim n_layer (sharded over
@@ -234,14 +257,18 @@ class SparseTransformerLM:
             "ln2_g": P(None), "ln2_b": P(None),
             "w_qkv": P(None, "tp"), "b_qkv": P("tp"),
             "w_out": P("tp", None), "b_out": P(None),
-            "b_fc": P("tp"), "b_proj": P(None),
         }
-        if self.bsmm1 is not None:
-            layer["w_fc"] = P("tp", None, None, None)
-            layer["w_proj"] = P("tp", None, None, None)
+        if self.moe is not None:
+            layer["moe"] = self.moe.param_specs()
         else:
-            layer["w_fc"] = P(None, "tp")
-            layer["w_proj"] = P("tp", None)
+            layer["b_fc"] = P("tp")
+            layer["b_proj"] = P(None)
+            if self.bsmm1 is not None:
+                layer["w_fc"] = P("tp", None, None, None)
+                layer["w_proj"] = P("tp", None, None, None)
+            else:
+                layer["w_fc"] = P(None, "tp")
+                layer["w_proj"] = P("tp", None)
         if self.stack:
             lead = "pp" if c.pp > 1 else None
             spec["hs"] = jax.tree_util.tree_map(
@@ -265,15 +292,20 @@ class SparseTransformerLM:
         over pp."""
         specs = self.param_specs()
         sp = ("sp",) if include_sp else ()
-        pp = self.config.pp > 1
+        active = ["dp", "tp"]
+        if self.config.pp > 1:
+            active.append("pp")
+        if self.config.ep > 1:
+            # ep shards hold distinct experts; gate/shared params see
+            # distinct tokens per ep shard (batch is split dp x ep) so
+            # they reduce over ep; expert grads already accumulated
+            # across ep by the transposed all_to_all
+            active.append("ep")
 
         def axes(p):
             named = {a for s in p if s for a in (s if isinstance(s, tuple)
                                                 else (s,))}
-            base = ("dp",) if "tp" in named else ("dp", "tp")
-            if pp and "pp" not in named:
-                base = base + ("pp",)
-            return base + sp
+            return tuple(a for a in active if a not in named) + sp
         return jax.tree_util.tree_map(axes, specs,
                                       is_leaf=lambda x: isinstance(x, P))
 
@@ -298,7 +330,9 @@ class SparseTransformerLM:
     # ---------------- forward ----------------
 
     def _block(self, layer, x, dtype, tp_axis, drop_key=None,
-               sp_axis=None):
+               sp_axis=None, ep_axis=None):
+        """One transformer block; returns (x, aux) where aux is the MoE
+        load-balance loss (zero for dense/bsmm MLPs)."""
         c = self.config
         nd = jnp.dtype(dtype)
 
@@ -331,6 +365,11 @@ class SparseTransformerLM:
         def mlp(x):
             h = layer_norm(x, layer["ln2_g"], layer["ln2_b"], axis=-1)
             h = float_cast(h, nd)
+            if self.moe is not None:
+                B, L, D = h.shape
+                y, aux = self.moe(layer["moe"], h.reshape(B * L, D),
+                                  ep_axis=ep_axis)
+                return y.reshape(B, L, D), aux
             if self.bsmm1 is not None:
                 w1 = float_cast(layer["w_fc"][0], nd)
                 h = self.bsmm1(h, w1)
@@ -344,19 +383,23 @@ class SparseTransformerLM:
                 h = h @ float_cast(layer["w_proj"], nd)
             if tp_axis is not None:
                 h = jax.lax.psum(h, tp_axis)
-            return h + layer["b_proj"].astype(nd)
+            return h + layer["b_proj"].astype(nd), jnp.zeros(
+                (), jnp.float32)
 
         k1 = k2 = None
         if drop_key is not None:
             k1, k2 = jax.random.split(drop_key)
         x = x + resid_drop(attn(x), k1).astype(x.dtype)
-        x = x + resid_drop(mlp(x), k2).astype(x.dtype)
-        return x
+        m, aux = mlp(x)
+        x = x + resid_drop(m, k2).astype(x.dtype)
+        return x, aux
 
     # ---------------- KV-cached decode ----------------
 
     def init_kv_cache(self, batch):
         """Per-layer K/V caches over the full layout context."""
+        assert self.moe is None, \
+            "KV-cached decode with MoE MLPs not implemented"
         c = self.config
         nd = jnp.dtype(c.dtype)
         return [{"k": jnp.zeros((batch, c.ctx, c.n_embd), nd),
@@ -369,6 +412,8 @@ class SparseTransformerLM:
         tokens: (batch, ctx) int32 (positions past the prompt may be
         padding — causal masking keeps them out of earlier logits).
         Returns (logits, caches)."""
+        assert self.moe is None, \
+            "KV-cached decode with MoE MLPs not implemented"
         c = self.config
         nd = jnp.dtype(c.dtype)
         x = embedding_lookup(params["wte"], tokens) \
@@ -444,11 +489,12 @@ class SparseTransformerLM:
         return logits[:, 0].astype(jnp.float32), new_caches
 
     def forward(self, params, tokens, tp_axis=None, sp_axis=None,
-                dropout_key=None):
+                ep_axis=None, dropout_key=None, return_aux=False):
         """tokens (batch, ctx) int32 -> logits (batch, ctx, n_vocab) f32.
         Under sequence parallelism tokens are the LOCAL ctx shard
         (batch, ctx/sp) and sp_axis names the mesh axis.  dropout_key
-        enables residual dropout (resid_pdrop)."""
+        enables residual dropout (resid_pdrop).  return_aux also
+        returns the summed MoE load-balance loss."""
         c = self.config
         nd = jnp.dtype(c.dtype)
         L = tokens.shape[1]
@@ -463,44 +509,53 @@ class SparseTransformerLM:
         x = embedding_lookup(params["wte"], tokens) + wpe[None]
         x = x.astype(jnp.float32)
 
+        aux = jnp.zeros((), jnp.float32)
         if self.stack:
-            x = self._scan_layers(params["hs"], x, nd, tp_axis,
-                                  dropout_key, sp_axis=sp_axis)
+            x, aux = self._scan_layers(params["hs"], x, nd, tp_axis,
+                                       dropout_key, sp_axis=sp_axis,
+                                       ep_axis=ep_axis)
         else:
             keys = (jax.random.split(dropout_key, c.n_layer)
                     if dropout_key is not None else [None] * c.n_layer)
             for l in range(c.n_layer):
                 blk = lambda x, layer=params[f"h{l}"], k=keys[l]: \
                     self._block(layer, x, nd, tp_axis, drop_key=k,
-                                sp_axis=sp_axis)
+                                sp_axis=sp_axis, ep_axis=ep_axis)
                 if c.recompute:
-                    x = jax.checkpoint(blk)(x)
+                    x, a = jax.checkpoint(blk)(x)
                 else:
-                    x = blk(x)
+                    x, a = blk(x)
+                aux = aux + a
 
         h = layer_norm(x, params["lnf_g"], params["lnf_b"], axis=-1)
         logits = h.astype(nd) @ float_cast(params["wte"], nd).T
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        return (logits, aux) if return_aux else logits
 
     def _scan_layers(self, hs, x, nd, tp_axis, dropout_key, sp_axis=None,
-                     layer0=0):
+                     ep_axis=None, layer0=0):
         """Apply a stacked layer slice with lax.scan (one traced block
         body regardless of depth — bounds compile time and is the stage
         function under pipeline parallelism).  layer0 offsets the
-        dropout fold-in so pp stages draw distinct per-layer keys."""
+        dropout fold-in so pp stages draw distinct per-layer keys.
+        Returns (x, summed MoE aux loss)."""
         L = jax.tree_util.tree_leaves(hs)[0].shape[0]
 
-        def body(x, inp):
+        def body(carry, inp):
+            x, aux = carry
             layer, i = inp
             k = (jax.random.fold_in(dropout_key, layer0 + i)
                  if dropout_key is not None else None)
             blk = lambda x: self._block(layer, x, nd, tp_axis,
-                                        drop_key=k, sp_axis=sp_axis)
-            x = jax.checkpoint(blk)(x) if self.config.recompute else blk(x)
-            return x, None
+                                        drop_key=k, sp_axis=sp_axis,
+                                        ep_axis=ep_axis)
+            x, a = (jax.checkpoint(blk)(x) if self.config.recompute
+                    else blk(x))
+            return (x, aux + a), None
 
-        x, _ = jax.lax.scan(body, x, (hs, jnp.arange(L)))
-        return x
+        (x, aux), _ = jax.lax.scan(
+            body, (x, jnp.zeros((), jnp.float32)), (hs, jnp.arange(L)))
+        return x, aux
 
     def loss_pp(self, params, tokens, targets, pp_axis, tp_axis=None,
                 dropout_key=None):
@@ -523,8 +578,9 @@ class SparseTransformerLM:
         layer0 = jax.lax.axis_index(pp_axis) * l_loc
 
         def stage_fn(hs, h):
-            return self._scan_layers(hs, h, nd, tp_axis, dropout_key,
+            h, _ = self._scan_layers(hs, h, nd, tp_axis, dropout_key,
                                      layer0=layer0)
+            return h
 
         ym = pl.gpipe(stage_fn, params["hs"], xm, axis=pp_axis,
                       n_stages=S)
@@ -538,14 +594,16 @@ class SparseTransformerLM:
         return jnp.mean(losses) / S
 
     def loss(self, params, tokens, targets, tp_axis=None, sp_axis=None,
-             pp_axis=None, dropout_key=None):
+             pp_axis=None, ep_axis=None, dropout_key=None):
         if pp_axis is not None and self.config.pp > 1:
             return self.loss_pp(params, tokens, targets, pp_axis,
                                 tp_axis=tp_axis, dropout_key=dropout_key)
-        logits = self.forward(params, tokens, tp_axis=tp_axis,
-                              sp_axis=sp_axis, dropout_key=dropout_key)
+        logits, aux = self.forward(params, tokens, tp_axis=tp_axis,
+                                   sp_axis=sp_axis, ep_axis=ep_axis,
+                                   dropout_key=dropout_key,
+                                   return_aux=True)
         losses = softmax_cross_entropy(logits=logits, labels=targets)
-        return jnp.mean(losses)
+        return jnp.mean(losses) + self.config.moe_aux_coef * aux
 
     # ---------------- training ----------------
 
@@ -561,10 +619,11 @@ class SparseTransformerLM:
 
         def local_step(params, opt_state, tokens, targets, loss_scale,
                        dp_axis=None, tp_axis=None, sp_axis=None,
-                       pp_axis=None):
+                       pp_axis=None, ep_axis=None):
             def scaled_loss(p):
                 l = model.loss(p, tokens, targets, tp_axis=tp_axis,
-                               sp_axis=sp_axis, pp_axis=pp_axis)
+                               sp_axis=sp_axis, pp_axis=pp_axis,
+                               ep_axis=ep_axis)
                 return l * loss_scale
 
             loss_val, grads = jax.value_and_grad(scaled_loss)(params)
@@ -580,6 +639,11 @@ class SparseTransformerLM:
                 if sp_axis is not None:
                     nshards = nshards * jax.lax.psum(1, sp_axis)
                     loss_val = jax.lax.pmean(loss_val, sp_axis)
+                if ep_axis is not None:
+                    # batch is split dp x ep: ep shards hold distinct
+                    # tokens, so they count as data shards too
+                    nshards = nshards * jax.lax.psum(1, ep_axis)
+                    loss_val = jax.lax.pmean(loss_val, ep_axis)
                 if pp_axis is not None:
                     # loss_pp returns true_loss/pp per shard
                     loss_val = jax.lax.psum(loss_val, pp_axis)
@@ -644,10 +708,19 @@ class SparseTransformerLM:
                 "config.pp > 1 needs a 'pp' mesh axis (make_mesh(pp=N))"
             assert mesh.shape["pp"] == self.config.pp, \
                 (mesh.shape, self.config.pp)
-        tok_spec = P("dp", "sp") if use_sp else P("dp", None)
+        use_ep = self.config.ep > 1
+        if use_ep:
+            assert "ep" in mesh.axis_names, \
+                "config.ep > 1 needs an 'ep' mesh axis (make_mesh(ep=N))"
+            assert mesh.shape["ep"] == self.config.ep, \
+                (mesh.shape, self.config.ep)
+        batch_axes = ("dp", "ep") if use_ep else "dp"
+        tok_spec = (P(batch_axes, "sp") if use_sp
+                    else P(batch_axes, None))
         step = partial(local_step, dp_axis="dp", tp_axis="tp",
                        sp_axis="sp" if use_sp else None,
-                       pp_axis="pp" if use_pp else None)
+                       pp_axis="pp" if use_pp else None,
+                       ep_axis="ep" if use_ep else None)
         smapped = shard_map(
             step, mesh=mesh,
             in_specs=(pspecs, opt_specs, tok_spec, tok_spec, P()),

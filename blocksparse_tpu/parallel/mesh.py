@@ -22,18 +22,18 @@ import jax
 from jax.sharding import Mesh, PartitionSpec, NamedSharding
 
 
-def make_mesh(dp=None, tp=1, pp=1, sp=1, devices=None,
-              axis_names=("dp", "tp", "pp", "sp")):
+def make_mesh(dp=None, tp=1, pp=1, sp=1, ep=1, devices=None,
+              axis_names=("dp", "tp", "pp", "sp", "ep")):
     """Build a Mesh over available devices; dp defaults to the remainder.
     Size-1 axes are kept in the mesh (psum over them is a no-op), so one
-    program can name any of dp/tp/pp/sp unconditionally."""
+    program can name any of dp/tp/pp/sp/ep unconditionally."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % (tp * pp * sp) == 0, (n, tp, pp, sp)
-        dp = n // (tp * pp * sp)
-    assert dp * tp * pp * sp == n, (dp, tp, pp, sp, n)
-    arr = np.array(devices).reshape(dp, tp, pp, sp)
+        assert n % (tp * pp * sp * ep) == 0, (n, tp, pp, sp, ep)
+        dp = n // (tp * pp * sp * ep)
+    assert dp * tp * pp * sp * ep == n, (dp, tp, pp, sp, ep, n)
+    arr = np.array(devices).reshape(dp, tp, pp, sp, ep)
     return Mesh(arr, axis_names)
 
 

@@ -83,20 +83,33 @@ def main():
                    help="pipeline stages (GPipe over the pp mesh axis)")
     p.add_argument("--pp_microbatch", type=int, default=0,
                    help="pipeline microbatches (0 => pp)")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help=">0: MoE MLPs (Switch/GShard, block-sparse "
+                        "experts)")
+    p.add_argument("--moe_k", type=int, default=1)
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel shards (needs --moe_experts)")
     args = p.parse_args()
 
     dtype = args.dtype or ("bfloat16" if jax.default_backend() == "tpu"
                            else "float32")
     n_dev = jax.device_count()
-    model_par = args.tp * args.sp * args.pp
+    model_par = args.tp * args.sp * args.pp * args.ep
     if n_dev % model_par != 0:
         raise SystemExit(
-            f"--tp {args.tp} x --sp {args.sp} x --pp {args.pp} must "
+            f"--tp {args.tp} x --sp {args.sp} x --pp {args.pp} x "
+        f"--ep {args.ep} must "
             f"divide the device count ({n_dev})")
     # data-parallel over the devices left after tp x sp x pp, when the
     # batch divides cleanly
     rest = n_dev // model_par
-    dp = rest if rest > 0 and args.n_batch % rest == 0 else 1
+    # tokens are batch-sharded over dp x ep
+    dp = (rest if rest > 0 and args.n_batch % (rest * args.ep) == 0
+          else 1)
+    if args.n_batch % (dp * args.ep) != 0:
+        raise SystemExit(
+            f"--n_batch {args.n_batch} must divide by dp*ep = "
+            f"{dp * args.ep}")
     mesh_devices = jax.devices()[:dp * model_par]
     if dp * model_par < n_dev:
         print(f"note: n_batch {args.n_batch} not divisible by {rest}; "
@@ -108,7 +121,9 @@ def main():
         attn_layout=args.attn_layout, local_blocks=8, mlp_ratio=4,
         dtype=dtype, recompute=True, tp=args.tp, sp=args.sp,
         sp_mode=args.sp_mode, pp=args.pp,
-        pp_microbatch=args.pp_microbatch)
+        pp_microbatch=args.pp_microbatch, moe_experts=args.moe_experts,
+        moe_k=args.moe_k, ep=args.ep,
+        mlp_block_size=32 if args.moe_experts else 0)
     model = SparseTransformerLM(cfg)
     print(f"model: {cfg.n_layer}L x {cfg.n_embd}d ctx {cfg.ctx} "
           f"attn blocks {model.bst.blocks} | devices {n_dev}")
@@ -117,9 +132,11 @@ def main():
     optm = AdamOptimizer(learning_rate=args.lr, zero_nans=True,
                          zero_infs=True)
     opt_state = optm.init(params)
-    use_mesh = dp > 1 or args.tp > 1 or args.sp > 1 or args.pp > 1
+    use_mesh = (dp > 1 or args.tp > 1 or args.sp > 1 or args.pp > 1
+                or args.ep > 1)
     mesh = (make_mesh(dp=dp, tp=args.tp, sp=args.sp, pp=args.pp,
-                      devices=mesh_devices) if use_mesh else None)
+                      ep=args.ep, devices=mesh_devices)
+            if use_mesh else None)
     step_fn = model.make_train_step(optm, mesh=mesh)
 
     train, valid = load_data(args.data_file, 9 * 10 ** 7, 5 * 10 ** 6)

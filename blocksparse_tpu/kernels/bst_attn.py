@@ -24,6 +24,31 @@ Design (TPU-first):
     step's E blocks are gathered by explicit double-buffered DMA — the
     next chunk's copies start before this chunk's compute, so gather
     overlaps the MXU work.  No ctx*hs size limit.
+
+Stream-mode lane folding (round 4): Mosaic only DMAs HBM slices whose
+lane (minor) dim is 128-aligned, and hs=64 tensors are lane-padded
+64->128 in HBM, so a (bs, hs<128) block cannot be gathered directly
+(measured: "Slice shape along dimension 2 must be aligned to tiling
+(128)"; value/ref-level lane slicing and lane-splitting reshapes crash
+the compiler outright — tools/tpu_dma_variants.py).  The streamed
+kernels therefore work on a FOLDED operand layout:
+  * K/V (and q/do for the dkv pass) are riffle-folded outside the
+    kernel to (BH, ctx*hs//128, 128): with F = 128//hs parts and
+    g = bs//F folded rows per block, folded row r of a block carries
+    rows {r + f*g : f} of the block in its F lane-parts — so lane-part
+    f of a gathered chunk is rows [f*g, (f+1)*g) in natural order.
+  * Scores are computed per part with a zero-padded q (q placed at
+    lanes [f*hs, (f+1)*hs)) dotted against the folded chunk; the
+    online softmax runs across the F part-score tiles jointly.
+  * p@V dots emit (bs, 128) tiles whose lane-part f holds part-f keys'
+    true contribution; a lane mask keeps it and the folded f32
+    accumulator sums parts in place.
+  * Outputs are emitted FOLDED, (.., 128) wide, and unfolded outside
+    the kernel by summing the F hs-wide lane slices (plain XLA).
+At hs=128 (F=1) the folded math degenerates to the natural math with
+no extra work; at hs<128 the QK^T/PV dots run F x the MACs (padded
+operands), which hides under the DMA gather that dominates stream
+mode.  The riffle-fold itself is one XLA gather over K/V per call.
 """
 from __future__ import annotations
 
@@ -205,20 +230,123 @@ def _row_gather(ref2, kidx_ref, h, s, E, bs):
         axis=1)
 
 
-def _stream_gather(srcs, bufs, sems, kidx_ref, h, s, S, bh, E, bs):
-    """Double-buffered DMA gather of E (bs, ...) blocks per source from
-    ANY-space (HBM) refs, indexed by the SMEM schedule.  Starts step
-    s+1's copies before waiting on step s's, so the next chunk's gather
-    overlaps this chunk's compute.  Every started copy is waited exactly
-    once (warm-up copies at s == 0; step t's copies in step t)."""
+def _fold_factor(hs):
+    """Stream-mode lane-fold factor.  hs must divide 128: larger or
+    non-dividing head sizes cannot be DMA-gathered block-wise on TPU
+    (see module doc); use the resident path or split/pad heads."""
+    if hs == 128:
+        return 1
+    if hs > 128 or 128 % hs != 0:
+        raise ValueError(
+            f"stream-mode fused attention needs head_state dividing 128; "
+            f"got {hs}.  Use the resident path or split/pad the head "
+            f"dimension.")
+    return 128 // hs
+
+
+def _stream_fold(a, bs):
+    """(BH, ctx, hs) -> riffle-folded (BH, ctx*hs//128, 128).  Folded
+    row r of block kb carries natural rows {kb*bs + r + f*g : f} in its
+    F lane-parts (g = bs//F).  One XLA gather; identity when hs=128."""
+    BH, ctx, hs = a.shape
+    F = _fold_factor(hs)
+    if F == 1:
+        return a.reshape(BH, ctx * hs // 128, 128)
+    g = bs // F
+    a5 = a.reshape(BH, ctx // bs, F, g, hs)
+    a5 = jnp.swapaxes(a5, 2, 3)                  # (BH, nblk, g, F, hs)
+    return a5.reshape(BH, ctx * hs // 128, 128)
+
+
+def _unfold_out(out_folded, hs):
+    """Sum the F hs-wide lane-parts of a folded (.., 128) output.  The
+    parts are disjoint addends (part f holds part-f keys'/queries'
+    contribution), so this completes the reduction the kernel could not
+    express lane-wise."""
+    F = 128 // hs
+    if F == 1:
+        return out_folded
+    return sum(out_folded[..., f * hs:(f + 1) * hs] for f in range(F))
+
+
+def _split_uniq_parts(muniq, bs, F):
+    """Reorder the (n_uniq*bs, bs) unique-mask table into per-part
+    column strips (n_uniq*F*bs, g) so the kernel can read part f of
+    unique block u at rows [(u*F + f)*bs, +bs) — 128-aligned lane
+    slicing inside the kernel is unavailable."""
+    if F == 1:
+        return muniq
+    g = bs // F
+    n = muniq.shape[0] // bs
+    if isinstance(muniq, np.ndarray):
+        t = muniq.reshape(n, bs, F, g).transpose(0, 2, 1, 3)
+        return np.ascontiguousarray(t).reshape(n * F * bs, g)
+    t = jnp.swapaxes(muniq.reshape(n, bs, F, g), 1, 2)
+    return t.reshape(n * F * bs, g)
+
+
+def _gen_mask_part(mcode_ref, ump_ref, h, s, E, bs, g, F, f):
+    """Part-f mask tile (bs, E*g) in folded column order: column
+    (i, r) is slot i's within-block key/query index r + f*g.  Codes are
+    evaluated arithmetically; UNIQ blocks read their part strip from
+    the _split_uniq_parts table."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (bs, g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bs, g), 1) + f * g
+    tril = (r >= c).astype(jnp.int32)
+    triu = (r <= c).astype(jnp.int32)
+    ones = jnp.ones((bs, g), jnp.int32)
+    cols = []
+    for i in range(E):
+        code = mcode_ref[h, s, i]
+        uo = (jnp.maximum(code - MASK_UNIQ0, 0) * F + f) * bs
+        um = ump_ref[pl.ds(uo, bs), :].astype(jnp.int32)
+        mi = ((code == MASK_FULL).astype(jnp.int32) * ones
+              + (code == MASK_TRIL).astype(jnp.int32) * tril
+              + (code == MASK_TRIU).astype(jnp.int32) * triu
+              + (code >= MASK_UNIQ0).astype(jnp.int32) * um)
+        cols.append(mi)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _pad_part(x, f, F):
+    """Place (bs, hs) x at lane-part f of a (bs, 128) zero tile."""
+    if F == 1:
+        return x
+    z = jnp.zeros_like(x)
+    return jnp.concatenate([x if j == f else z for j in range(F)], axis=1)
+
+
+def _part_keep(tile, hs, f):
+    """Zero all lane-parts of a (bs, 128) f32 tile except part f."""
+    if hs == 128:
+        return tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+    return jnp.where(lane // hs == f, tile, 0.0)
+
+
+def _row_gather_part(ref3, kidx_ref, h, s, E, F, g, f):
+    """Gather E (1, g) part-f rows of per-position scalars stored in
+    (ctx_blks*F, g) part-split block-row form -> (1, E*g)."""
+    return jnp.concatenate(
+        [ref3[0, pl.ds(kidx_ref[h, s, i] * F + f, 1), :] for i in range(E)],
+        axis=1)
+
+
+def _stream_gather(srcs, bufs, sems, kidx_ref, h, s, S, bh, E, g):
+    """Double-buffered DMA gather of E folded blocks (g rows x 128
+    lanes each) per source from ANY-space (HBM) refs, indexed by the
+    SMEM schedule.  Starts step s+1's copies before waiting on step
+    s's, so the next chunk's gather overlaps this chunk's compute.
+    Every started copy is waited exactly once (warm-up copies at
+    s == 0; step t's copies in step t)."""
     def descs(step, slot):
         out = []
         for t, (src, buf) in enumerate(zip(srcs, bufs)):
             for i in range(E):
                 kb = kidx_ref[h, step, i]
                 out.append(pltpu.make_async_copy(
-                    src.at[bh, pl.ds(kb * bs, bs), :],
-                    buf.at[slot, pl.ds(i * bs, bs), :],
+                    src.at[bh, pl.ds(kb * g, g), :],
+                    buf.at[slot, pl.ds(i * g, g), :],
                     sems.at[slot, t, i]))
         return out
 
@@ -265,6 +393,22 @@ def _fixed(bh, s, row, fi, la):
     return (0, 0)
 
 
+def _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s, E, bs, hs,
+                         scale, precision):
+    """Per-part masked score tiles [(bs, E*g)] from a folded K chunk."""
+    F = 128 // hs
+    g = bs // F
+    parts = []
+    for f in range(F):
+        qp = _pad_part(q, f, F)
+        sf = jax.lax.dot_general(
+            qp, kfold, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision) * scale
+        mf = _gen_mask_part(mcode_ref, um_ref, h, s, E, bs, g, F, f)
+        parts.append(jnp.where(mf != 0, sf, _NEG_INF))
+    return parts
+
+
 def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
                  row_ref, first_ref, last_ref, kidx_ref, mcode_ref, *refs):
     if stream:
@@ -284,30 +428,48 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     q = q_ref[0]                                    # (bs, hs)
+    m_prev = m_ref[...]                             # (bs, 1)
     if stream:
-        kcat, vcat = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
-                                    kidx_ref, h, s, S, bh, E, bs)
+        F = 128 // hs
+        g = bs // F
+        kfold, vfold = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
+                                      kidx_ref, h, s, S, bh, E, g)
         vdt = vbuf.dtype
+        s_parts = _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s,
+                                       E, bs, hs, scale, precision)
+        m_new = m_prev
+        for sf in s_parts:
+            m_new = jnp.maximum(m_new, jnp.max(sf, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_ref[...] * alpha
+        pv = jnp.zeros_like(acc_ref)
+        for f, sf in enumerate(s_parts):
+            pf = jnp.exp(sf - m_new)
+            l_new = l_new + jnp.sum(pf, axis=1, keepdims=True)
+            gf = jax.lax.dot_general(
+                pf.astype(vdt), vfold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            pv = pv + _part_keep(gf, hs, f)
+        acc_new = acc_ref[...] * alpha + pv
     else:
         kcat = _vmem_gather(k_ref, kidx_ref, h, s, E, bs)   # (E*bs, hs)
         vcat = _vmem_gather(v_ref, kidx_ref, h, s, E, bs)
         vdt = v_ref.dtype
-    scores = jax.lax.dot_general(
-        q, kcat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
-    mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
-    scores = jnp.where(mask != 0, scores, _NEG_INF)
+        scores = jax.lax.dot_general(
+            q, kcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision) * scale
+        mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+        scores = jnp.where(mask != 0, scores, _NEG_INF)
 
-    m_prev = m_ref[...]                             # (bs, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)                     # (bs, E*bs)
-    l_new = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                 # (bs, E*bs)
+        l_new = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    pv = jax.lax.dot_general(
-        p.astype(vdt), vcat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    acc_new = acc_ref[...] * alpha + pv
+        pv = jax.lax.dot_general(
+            p.astype(vdt), vcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_new = acc_ref[...] * alpha + pv
 
     m_ref[...] = m_new
     l_ref[...] = l_new
@@ -328,8 +490,10 @@ def _kv_in_specs(ctxk, hs, stream):
 
 
 def _kv_stream_scratch(E, bs, hs, dtype, n_bufs=2):
-    """2-slot double buffers for n_bufs gathered streams + semaphores."""
-    return [pltpu.VMEM((2, E * bs, hs), dtype) for _ in range(n_bufs)] \
+    """2-slot double buffers for n_bufs folded gathered streams +
+    semaphores.  Folded blocks are (g, 128) with g = bs*hs//128."""
+    g = bs // _fold_factor(hs)
+    return [pltpu.VMEM((2, E * g, 128), dtype) for _ in range(n_bufs)] \
         + [pltpu.SemaphoreType.DMA((2, n_bufs, E))]
 
 
@@ -351,14 +515,23 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
                      else jax.lax.Precision.DEFAULT)
 
     q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
-    uniq_spec = pl.BlockSpec(sched.muniq.shape, _fixed,
-                             memory_space=pltpu.VMEM)
+    if stream:
+        F = _fold_factor(hs)
+        k = _stream_fold(k, bs)
+        v = _stream_fold(v, bs)
+        muniq = _split_uniq_parts(sched.muniq, bs, F)
+        out_w = 128
+    else:
+        muniq = sched.muniq
+        out_w = hs
+    uniq_spec = pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM)
     in_specs = _sched_smem_specs() + [q_spec] \
         + _kv_in_specs(ctxk, hs, stream) + [uniq_spec]
-    out_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, bs, out_w), _row_blk,
+                            memory_space=pltpu.VMEM)
 
     scratch = [
-        pltpu.VMEM((bs, hs), jnp.float32),
+        pltpu.VMEM((bs, out_w), jnp.float32),
         pltpu.VMEM((bs, 1), jnp.float32),
         pltpu.VMEM((bs, 1), jnp.float32),
     ]
@@ -381,11 +554,12 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
         functools.partial(_attn_kernel, E, bs, hs, scale, lut_heads, heads,
                           precision, stream, S),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, ctxq, hs), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, ctxq, out_w), q.dtype),
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    return fn(*_sched_args(sched), q, k, v, jnp.asarray(sched.muniq))
+    out = fn(*_sched_args(sched), q, k, v, jnp.asarray(muniq))
+    return _unfold_out(out, hs) if stream else out
 
 
 # ------------------------------------------------------------------
@@ -417,30 +591,48 @@ def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     q = q_ref[0]
+    m_prev = m_ref[...]
     if stream:
-        kcat, vcat = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
-                                    kidx_ref, h, s, S, bh, E, bs)
+        F = 128 // hs
+        g = bs // F
+        kfold, vfold = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
+                                      kidx_ref, h, s, S, bh, E, g)
         vdt = vbuf.dtype
+        s_parts = _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s,
+                                       E, bs, hs, scale, precision)
+        m_new = m_prev
+        for sf in s_parts:
+            m_new = jnp.maximum(m_new, jnp.max(sf, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_ref[...] * alpha
+        pv = jnp.zeros_like(acc_ref)
+        for f, sf in enumerate(s_parts):
+            pf = jnp.exp(sf - m_new)
+            l_new = l_new + jnp.sum(pf, axis=1, keepdims=True)
+            gf = jax.lax.dot_general(
+                pf.astype(vdt), vfold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            pv = pv + _part_keep(gf, hs, f)
+        acc_ref[...] = acc_ref[...] * alpha + pv
     else:
         kcat = _vmem_gather(k_ref, kidx_ref, h, s, E, bs)
         vcat = _vmem_gather(v_ref, kidx_ref, h, s, E, bs)
         vdt = v_ref.dtype
-    scores = jax.lax.dot_general(
-        q, kcat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
-    mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
-    scores = jnp.where(mask != 0, scores, _NEG_INF)
+        scores = jax.lax.dot_general(
+            q, kcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision) * scale
+        mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+        scores = jnp.where(mask != 0, scores, _NEG_INF)
 
-    m_prev = m_ref[...]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)
-    l_new = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    pv = jax.lax.dot_general(
-        p.astype(vdt), vcat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    acc_ref[...] = acc_ref[...] * alpha + pv
+        pv = jax.lax.dot_general(
+            p.astype(vdt), vcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[...] = acc_ref[...] * alpha + pv
     m_ref[...] = m_new
     l_ref[...] = l_new
 
@@ -464,16 +656,24 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
                      else jax.lax.Precision.DEFAULT)
 
     q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
-    uniq_spec = pl.BlockSpec(sched.muniq.shape, _fixed,
-                             memory_space=pltpu.VMEM)
+    if stream:
+        F = _fold_factor(hs)
+        k = _stream_fold(k, bs)
+        v = _stream_fold(v, bs)
+        muniq = _split_uniq_parts(sched.muniq, bs, F)
+        out_w = 128
+    else:
+        muniq = sched.muniq
+        out_w = hs
+    uniq_spec = pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM)
     in_specs = _sched_smem_specs() + [q_spec] \
         + _kv_in_specs(ctxk, hs, stream) + [uniq_spec]
     out_specs = (
-        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bs, out_w), _row_blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),
     )
     scratch = [
-        pltpu.VMEM((bs, hs), jnp.float32),
+        pltpu.VMEM((bs, out_w), jnp.float32),
         pltpu.VMEM((bs, 1), jnp.float32),
         pltpu.VMEM((bs, 1), jnp.float32),
     ]
@@ -491,12 +691,13 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
                           heads, precision, stream, S),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((BH, ctxq, hs), q.dtype),
+            jax.ShapeDtypeStruct((BH, ctxq, out_w), q.dtype),
             jax.ShapeDtypeStruct((BH, ctxq, 1), jnp.float32),
         ),
         interpret=use_interpret(),
     )
-    return fn(*_sched_args(sched), q, k, v, jnp.asarray(sched.muniq))
+    out, lse = fn(*_sched_args(sched), q, k, v, jnp.asarray(muniq))
+    return (_unfold_out(out, hs), lse) if stream else (out, lse)
 
 
 def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
@@ -522,29 +723,44 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
     dvec = dvec_ref[0]                              # (bs, 1) f32
 
     if stream:
-        kcat, vcat = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
-                                    kidx_ref, h, s, S, bh, E, bs)
+        F = 128 // hs
+        g = bs // F
+        kfold, vfold = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
+                                      kidx_ref, h, s, S, bh, E, g)
         kdt = kbuf.dtype
+        s_parts = _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s,
+                                       E, bs, hs, scale, precision)
+        for f, sf in enumerate(s_parts):
+            pf = jnp.exp(sf - lse)                  # (bs, E*g)
+            dop = _pad_part(do, f, F)
+            dpf = jax.lax.dot_general(
+                dop, vfold, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            dsf = pf * (dpf - dvec) * scale
+            gf = jax.lax.dot_general(
+                dsf.astype(kdt), kfold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            acc_ref[...] += _part_keep(gf, hs, f)
     else:
         kcat = _vmem_gather(k_ref, kidx_ref, h, s, E, bs)   # (E*bs, hs)
         vcat = _vmem_gather(v_ref, kidx_ref, h, s, E, bs)
         kdt = k_ref.dtype
 
-    scores = jax.lax.dot_general(
-        q, kcat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
-    mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
-    scores = jnp.where(mask != 0, scores, _NEG_INF)
-    p = jnp.exp(scores - lse)                       # (bs, E*bs)
+        scores = jax.lax.dot_general(
+            q, kcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision) * scale
+        mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+        scores = jnp.where(mask != 0, scores, _NEG_INF)
+        p = jnp.exp(scores - lse)                   # (bs, E*bs)
 
-    dp = jax.lax.dot_general(
-        do, vcat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    ds = p * (dp - dvec) * scale                    # (bs, E*bs)
+        dp = jax.lax.dot_general(
+            do, vcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        ds = p * (dp - dvec) * scale                # (bs, E*bs)
 
-    acc_ref[...] += jax.lax.dot_general(
-        ds.astype(kdt), kcat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[...] += jax.lax.dot_general(
+            ds.astype(kdt), kcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(last_ref[s] == 1)
     def _():
@@ -573,38 +789,65 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
     vb = v_ref[0]
 
     if stream:
-        qcat, docat = _stream_gather([q_ref, do_ref], [qbuf, dobuf], sems,
-                                     qidx_ref, h, s, S, bh, E, bs)
+        F = 128 // hs
+        g = bs // F
+        qfold, dofold = _stream_gather([q_ref, do_ref], [qbuf, dobuf],
+                                       sems, qidx_ref, h, s, S, bh, E, g)
         qdt, dodt = qbuf.dtype, dobuf.dtype
+        for f in range(F):
+            kbp = _pad_part(kb, f, F)
+            s_t_f = jax.lax.dot_general(
+                kbp, qfold, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision) * scale        # (bs_k, E*g)
+            m_t_f = _gen_mask_part(mcode_ref, um_ref, h, s, E, bs, g, F, f)
+            s_t_f = jnp.where(m_t_f != 0, s_t_f, _NEG_INF)
+            # lse/dvec ride whole-VMEM in part-split (ctx_blks*F, g) form
+            lsecat = _row_gather_part(lse_ref, qidx_ref, h, s, E, F, g, f)
+            dveccat = _row_gather_part(dvec_ref, qidx_ref, h, s, E, F, g, f)
+            p_t_f = jnp.exp(s_t_f - lsecat)
+            gv = jax.lax.dot_general(
+                p_t_f.astype(dodt), dofold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            dv_acc[...] += _part_keep(gv, hs, f)
+            vbp = _pad_part(vb, f, F)
+            dp_t_f = jax.lax.dot_general(
+                vbp, dofold, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            ds_t_f = p_t_f * (dp_t_f - dveccat) * scale
+            gk = jax.lax.dot_general(
+                ds_t_f.astype(qdt), qfold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            dk_acc[...] += _part_keep(gk, hs, f)
     else:
         qcat = _vmem_gather(q_ref, qidx_ref, h, s, E, bs)   # (E*bs, hs)
         docat = _vmem_gather(do_ref, qidx_ref, h, s, E, bs)
         qdt, dodt = q_ref.dtype, do_ref.dtype
-    # lse/dvec ride whole-VMEM in (ctx_blks, bs) block-row form in both
-    # modes (tiny; see _row_gather for why not (ctx, 1))
-    lsecat = _row_gather(lse_ref, qidx_ref, h, s, E, bs)    # (1, E*bs)
-    dveccat = _row_gather(dvec_ref, qidx_ref, h, s, E, bs)
+        # lse/dvec ride whole-VMEM in (ctx_blks, bs) block-row form
+        # (tiny; see _row_gather for why not (ctx, 1))
+        lsecat = _row_gather(lse_ref, qidx_ref, h, s, E, bs)    # (1, E*bs)
+        dveccat = _row_gather(dvec_ref, qidx_ref, h, s, E, bs)
 
-    # scores^T: (bs_k, E*bs_q)
-    s_t = jax.lax.dot_general(
-        kb, qcat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision) * scale
-    mask_t = _gen_mask(mcode_ref, um_ref, h, s, E, bs)  # (bs_k, E*bs_q)
-    s_t = jnp.where(mask_t != 0, s_t, _NEG_INF)
-    p_t = jnp.exp(s_t - lsecat)                     # (bs_k, E*bs_q)
+        # scores^T: (bs_k, E*bs_q)
+        s_t = jax.lax.dot_general(
+            kb, qcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision) * scale
+        mask_t = _gen_mask(mcode_ref, um_ref, h, s, E, bs)  # (bs_k, E*bs_q)
+        s_t = jnp.where(mask_t != 0, s_t, _NEG_INF)
+        p_t = jnp.exp(s_t - lsecat)                 # (bs_k, E*bs_q)
 
-    dv_acc[...] += jax.lax.dot_general(
-        p_t.astype(dodt), docat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+        dv_acc[...] += jax.lax.dot_general(
+            p_t.astype(dodt), docat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
-    dp_t = jax.lax.dot_general(
-        vb, docat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    ds_t = p_t * (dp_t - dveccat) * scale
+        dp_t = jax.lax.dot_general(
+            vb, docat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        ds_t = p_t * (dp_t - dveccat) * scale
 
-    dk_acc[...] += jax.lax.dot_general(
-        ds_t.astype(qdt), qcat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+        dk_acc[...] += jax.lax.dot_general(
+            ds_t.astype(qdt), qcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(last_ref[s] == 1)
     def _():
@@ -649,35 +892,44 @@ def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,
     E = sched_nn.E
     S = sched_nn.num_steps
     q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    if stream:
+        F = _fold_factor(hs)
+        k = _stream_fold(k, bs)
+        v = _stream_fold(v, bs)
+        muniq = _split_uniq_parts(sched_nn.muniq, bs, F)
+        out_w = 128
+    else:
+        muniq = sched_nn.muniq
+        out_w = hs
     small = [
         pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # do
         pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),    # lse
         pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),    # dvec
-        pl.BlockSpec(sched_nn.muniq.shape, _fixed,
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM),
     ]
     in_specs = _sched_smem_specs() + [q_spec] \
         + _kv_in_specs(ctxk, hs, stream) + small
-    scratch = [pltpu.VMEM((bs, hs), jnp.float32)]
+    scratch = [pltpu.VMEM((bs, out_w), jnp.float32)]
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BH, S),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bs, hs), _row_blk,
+        out_specs=pl.BlockSpec((1, bs, out_w), _row_blk,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    dq = pl.pallas_call(
         functools.partial(_attn_dq_kernel, E, bs, hs, scale, lut_heads,
                           heads, precision, stream, S),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, ctxq, hs),
+        out_shape=jax.ShapeDtypeStruct((BH, ctxq, out_w),
                                        out_dtype or q.dtype),
         interpret=use_interpret(),
     )(*_sched_args(sched_nn), q, k, v, do, lse, dvec,
-      jnp.asarray(sched_nn.muniq))
+      jnp.asarray(muniq))
+    return _unfold_out(dq, hs) if stream else dq
 
 
 def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
@@ -695,35 +947,46 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
     E2 = sched_tn.E
     S2 = sched_tn.num_steps
     ctx_blks_q = ctxq // bs
-    # block-row (ctx_blks, bs) layout for the per-position scalars; a
-    # (ctx, 1) whole-VMEM operand would tile-pad each position's row to
-    # 128 lanes (8 MB at ctx 16K)
-    lse2 = lse.reshape(BH, ctx_blks_q, bs)
-    dvec2 = dvec.reshape(BH, ctx_blks_q, bs)
     kv_specs = [
         pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # k
         pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # v
     ]
-    scal_specs = [
-        pl.BlockSpec((1, ctx_blks_q, bs), _whole,
-                     memory_space=pltpu.VMEM),                          # lse
-        pl.BlockSpec((1, ctx_blks_q, bs), _whole,
-                     memory_space=pltpu.VMEM),                          # dvec
-    ]
-    uniq2 = pl.BlockSpec(sched_tn.muniq.shape, _fixed,
-                         memory_space=pltpu.VMEM)
     if stream:
+        F = _fold_factor(hs)
+        g = bs // F
+        q = _stream_fold(q, bs)
+        do = _stream_fold(do, bs)
+        muniq = _split_uniq_parts(sched_tn.muniq, bs, F)
+        # part-split (ctx_blks*F, g) layout for the per-position
+        # scalars, matching the folded gathered-q column order
+        lse2 = lse.reshape(BH, ctx_blks_q * F, g)
+        dvec2 = dvec.reshape(BH, ctx_blks_q * F, g)
+        scal_blk = (1, ctx_blks_q * F, g)
+        out_w = 128
         qdo_specs = [pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY)]
     else:
+        muniq = sched_tn.muniq
+        # block-row (ctx_blks, bs) layout for the per-position scalars;
+        # a (ctx, 1) whole-VMEM operand would tile-pad each position's
+        # row to 128 lanes (8 MB at ctx 16K)
+        lse2 = lse.reshape(BH, ctx_blks_q, bs)
+        dvec2 = dvec.reshape(BH, ctx_blks_q, bs)
+        scal_blk = (1, ctx_blks_q, bs)
+        out_w = hs
         qdo_specs = [
             pl.BlockSpec((1, ctxq, hs), _whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ctxq, hs), _whole, memory_space=pltpu.VMEM),
         ]
+    scal_specs = [
+        pl.BlockSpec(scal_blk, _whole, memory_space=pltpu.VMEM),   # lse
+        pl.BlockSpec(scal_blk, _whole, memory_space=pltpu.VMEM),   # dvec
+    ]
+    uniq2 = pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM)
     in_specs2 = _sched_smem_specs() + kv_specs + qdo_specs \
         + scal_specs + [uniq2]
-    scratch2 = [pltpu.VMEM((bs, hs), jnp.float32),
-                pltpu.VMEM((bs, hs), jnp.float32)]
+    scratch2 = [pltpu.VMEM((bs, out_w), jnp.float32),
+                pltpu.VMEM((bs, out_w), jnp.float32)]
     if stream:
         scratch2 += _kv_stream_scratch(E2, bs, hs, q.dtype)
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
@@ -731,22 +994,25 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
         grid=(BH, S2),
         in_specs=in_specs2,
         out_specs=(
-            pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, out_w), _row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, out_w), _row_blk, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=scratch2,
     )
-    return pl.pallas_call(
+    dk, dv = pl.pallas_call(
         functools.partial(_attn_dkv_kernel, E2, bs, hs, scale, lut_heads,
                           heads, precision, stream, S2),
         grid_spec=grid_spec2,
-        out_shape=(jax.ShapeDtypeStruct((BH, ctxk, hs),
+        out_shape=(jax.ShapeDtypeStruct((BH, ctxk, out_w),
                                         out_dtype or k.dtype),
-                   jax.ShapeDtypeStruct((BH, ctxk, hs),
+                   jax.ShapeDtypeStruct((BH, ctxk, out_w),
                                         out_dtype or v.dtype)),
         interpret=use_interpret(),
     )(*_sched_args(sched_tn), k, v, q, do, lse2, dvec2,
-      jnp.asarray(sched_tn.muniq))
+      jnp.asarray(muniq))
+    if stream:
+        return _unfold_out(dk, hs), _unfold_out(dv, hs)
+    return dk, dv
 
 
 def build_attn_schedule_tn(tn_list_per_head, nt_list_per_head, ctx_blks_k,

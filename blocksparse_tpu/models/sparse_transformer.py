@@ -153,8 +153,10 @@ class SparseTransformerLM:
         self.hidden = c.mlp_ratio * c.n_embd
         self.hidden_local = self.hidden // c.tp
         if c.moe_experts:
-            assert c.tp == 1 and c.pp == 1 and c.sp == 1, \
-                "MoE composes with dp x ep (tp/pp/sp + MoE: round 4)"
+            # pp x ep composes via gpipe(with_aux=True) — each pipeline
+            # stage accumulates its own MoE load-balance aux (loss_pp).
+            assert c.tp == 1 and c.sp == 1, \
+                "MoE composes with dp x ep x pp (tp/sp + MoE: future)"
             assert c.moe_experts % c.ep == 0, (c.moe_experts, c.ep)
             from blocksparse_tpu.ops.moe import BlocksparseMoE
             self.moe = BlocksparseMoE(
@@ -558,11 +560,17 @@ class SparseTransformerLM:
         return x, aux
 
     def loss_pp(self, params, tokens, targets, pp_axis, tp_axis=None,
-                dropout_key=None):
+                ep_axis=None, dropout_key=None):
         """Pipelined loss: returns the TRUE loss / pp on every shard
         (psum over pp in the caller restores the value and makes a
         plain psum-over-pp gradient reduction exact for the shared
-        params — see parallel/pipeline.py docstring)."""
+        params — see parallel/pipeline.py docstring).
+
+        MoE composes: each stage's load-balance aux is accumulated
+        over its valid ticks (gpipe with_aux), normalized per
+        microbatch, and added UNscaled — pp shards hold distinct
+        stages, so the caller's psum over pp sums the per-stage aux
+        (the CE term alone carries the 1/S replication scaling)."""
         from blocksparse_tpu.parallel import pipeline as pl
         c = self.config
         nd = jnp.dtype(c.dtype)
@@ -578,12 +586,11 @@ class SparseTransformerLM:
         layer0 = jax.lax.axis_index(pp_axis) * l_loc
 
         def stage_fn(hs, h):
-            h, _ = self._scan_layers(hs, h, nd, tp_axis, dropout_key,
-                                     layer0=layer0)
-            return h
+            return self._scan_layers(hs, h, nd, tp_axis, dropout_key,
+                                     ep_axis=ep_axis, layer0=layer0)
 
-        ym = pl.gpipe(stage_fn, params["hs"], xm, axis=pp_axis,
-                      n_stages=S)
+        ym, aux = pl.gpipe(stage_fn, params["hs"], xm, axis=pp_axis,
+                           n_stages=S, with_aux=True)
         ym = pl.broadcast_from_last(ym, axis=pp_axis, n_stages=S)
         y = pl.unmicrobatch(ym)
 
@@ -591,13 +598,17 @@ class SparseTransformerLM:
         logits = (h.astype(nd) @ float_cast(params["wte"], nd).T)
         losses = softmax_cross_entropy(logits=logits.astype(jnp.float32),
                                        labels=targets)
-        return jnp.mean(losses) / S
+        # aux is a per-token-mean quantity per (stage, microbatch);
+        # summed over n_micro microbatches above -> normalize by n_micro
+        return (jnp.mean(losses) / S
+                + self.config.moe_aux_coef * aux / n_micro)
 
     def loss(self, params, tokens, targets, tp_axis=None, sp_axis=None,
              pp_axis=None, ep_axis=None, dropout_key=None):
         if pp_axis is not None and self.config.pp > 1:
             return self.loss_pp(params, tokens, targets, pp_axis,
-                                tp_axis=tp_axis, dropout_key=dropout_key)
+                                tp_axis=tp_axis, ep_axis=ep_axis,
+                                dropout_key=dropout_key)
         logits, aux = self.forward(params, tokens, tp_axis=tp_axis,
                                    sp_axis=sp_axis, ep_axis=ep_axis,
                                    dropout_key=dropout_key,

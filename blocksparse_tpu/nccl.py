@@ -6,6 +6,7 @@ on XLA collectives in blocksparse_tpu.parallel (see that module for the
 full mapping of the MPI+NCCL machinery)."""
 from blocksparse_tpu.parallel.collectives import (  # noqa: F401
     allreduce,
+    hierarchical_allreduce,
     group_allreduce,
     sync_variables_op,
     sync_globals_zero_init_op,

@@ -5,6 +5,7 @@ from blocksparse_tpu.parallel.mesh import (
 )
 from blocksparse_tpu.parallel.collectives import (
     allreduce,
+    hierarchical_allreduce,
     group_allreduce,
     reduce_scatter,
     all_gather,

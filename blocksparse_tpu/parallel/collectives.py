@@ -35,10 +35,43 @@ _op_counter = 0
 def allreduce(x, op_num=None, num_comms=2, prereduce=0, mpi_ranks=None,
               comm_id=0, logfile=None, axis="dp"):
     """Sum x across the axis.  Gradient is an allreduce of dy
-    (reference nccl.py:70) — which is what AD of psum produces."""
+    (reference nccl.py:70) — which is what AD of psum produces.
+
+    ``prereduce`` (reference src/nccl_op.cc:174-191: intra-node reduce ->
+    inter-node allreduce -> intra-node broadcast): pass a tuple axis
+    ``("ici", "dcn")`` (fast axis first) and prereduce>0 to run the
+    bandwidth-optimal hierarchical form via :func:`hierarchical_allreduce`.
+    A plain tuple axis without prereduce is a flat multi-axis psum."""
     global _op_counter
     _op_counter += 1
+    if prereduce and isinstance(axis, (tuple, list)) and len(axis) == 2:
+        return hierarchical_allreduce(x, fast_axis=axis[0],
+                                      slow_axis=axis[1])
     return lax.psum(x, axis)
+
+
+def hierarchical_allreduce(x, fast_axis="ici", slow_axis="dcn",
+                           scatter_dimension=0):
+    """Two-level allreduce: reduce_scatter over the fast axis (ICI),
+    allreduce over the slow axis (DCN), all_gather over the fast axis.
+
+    This is the TPU-native form of the reference's ``prereduce``
+    (src/nccl_op.cc:174-191 — intra-node reduce to one rank, inter-node
+    allreduce among node leaders, intra-node broadcast): only 1/|ici| of
+    the payload crosses the slow DCN links, while the scatter/gather legs
+    ride ICI.  Bitwise-equal in sum to ``lax.psum(x, (fast, slow))`` up
+    to float reassociation.
+
+    When x's leading dim does not divide by the fast-axis size, falls
+    back to the flat two-axis psum (the scatter needs an even split).
+    """
+    size = lax.psum(1, fast_axis)
+    d = scatter_dimension
+    if x.ndim == 0 or x.shape[d] % size != 0:
+        return lax.psum(x, (fast_axis, slow_axis))
+    part = lax.psum_scatter(x, fast_axis, scatter_dimension=d, tiled=True)
+    part = lax.psum(part, slow_axis)
+    return lax.all_gather(part, fast_axis, axis=d, tiled=True)
 
 
 def group_allreduce(grads, params=None, search_strings=None, cast_all=None,

@@ -43,12 +43,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def gpipe(stage_fn, stage_params, x_micro, *, axis, n_stages):
+def gpipe(stage_fn, stage_params, x_micro, *, axis, n_stages,
+          with_aux=False):
     """Run a shape-preserving stage pipeline inside shard_map.
 
     Args:
       stage_fn: ``(stage_params, h) -> h`` — THIS device's layer slice.
         Must preserve the activation shape/dtype (identical stages).
+        With ``with_aux=True``: ``(stage_params, h) -> (h, aux)`` where
+        ``aux`` is a scalar auxiliary loss (e.g. MoE load balance).
       stage_params: this device's parameter shard (leading layer dim
         already local — i.e. the caller sharded the stacked layer
         params over ``axis``).
@@ -56,10 +59,16 @@ def gpipe(stage_fn, stage_params, x_micro, *, axis, n_stages):
         ``axis``.  Only stage 0 consumes it.
       axis: mesh axis name for the pipeline.
       n_stages: static stage count (== mesh.shape[axis]).
+      with_aux: also accumulate the per-tick scalar aux over THIS
+        stage's valid ticks (stage s computes real microbatches on
+        ticks ``s..s+n_micro-1``; bubble-tick aux is masked out).
 
     Returns:
       ``(n_micro, ...)`` outputs — VALID ONLY on the last stage; use
-      :func:`broadcast_from_last` to replicate along the axis.
+      :func:`broadcast_from_last` to replicate along the axis.  With
+      ``with_aux``: ``(outputs, aux_sum)`` where aux_sum is this
+      shard's stage-local aux summed over microbatches (distinct per
+      pp shard — reduce with a psum over the axis, never divide by S).
     """
     n_micro = x_micro.shape[0]
     S = int(n_stages)
@@ -68,11 +77,16 @@ def gpipe(stage_fn, stage_params, x_micro, *, axis, n_stages):
     perm = [(i, i + 1) for i in range(S - 1)]
 
     def body(carry, t):
-        recv, out = carry
+        recv, out, aux = carry
         mb = jnp.clip(t, 0, n_micro - 1)
         x_t = lax.dynamic_index_in_dim(x_micro, mb, 0, keepdims=False)
         inp = jnp.where(idx == 0, x_t, recv)
-        y = stage_fn(stage_params, inp)
+        if with_aux:
+            y, a = stage_fn(stage_params, inp)
+            valid = (t >= idx) & (t < idx + n_micro)
+            aux = aux + jnp.where(valid, a.astype(jnp.float32), 0.0)
+        else:
+            y = stage_fn(stage_params, inp)
         if perm:
             recv_next = lax.ppermute(y, axis, perm)
         else:
@@ -82,12 +96,13 @@ def gpipe(stage_fn, stage_params, x_micro, *, axis, n_stages):
         # t = S-1 (scan order), so no masking is needed.
         o = jnp.clip(t - (S - 1), 0, n_micro - 1)
         out = lax.dynamic_update_index_in_dim(out, y, o, 0)
-        return (recv_next, out), None
+        return (recv_next, out, aux), None
 
     h0 = jnp.zeros_like(x_micro[0])
     out0 = jnp.zeros_like(x_micro)
-    (_, out), _ = lax.scan(body, (h0, out0), jnp.arange(T))
-    return out
+    aux0 = jnp.zeros((), jnp.float32)
+    (_, out, aux), _ = lax.scan(body, (h0, out0, aux0), jnp.arange(T))
+    return (out, aux) if with_aux else out
 
 
 def broadcast_from_last(y, *, axis, n_stages):

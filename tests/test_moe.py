@@ -252,6 +252,49 @@ class TestMoEModel:
         # flips a step's sign, so params can differ by 2*lr per element
         _tree_close_model(p1, rp1, atol=2.5e-3)
 
+    def test_moe_pp_ep_train_step_matches_single_device(self):
+        """dp=2 x pp=2 x ep=2 MoE train step == unsharded: the
+        pipelined loss carries the per-stage MoE load-balance aux
+        through gpipe(with_aux=True), normalized per microbatch, and
+        the caller's psum over pp restores the per-layer sum."""
+        from blocksparse_tpu.models.sparse_transformer import (
+            SparseTransformerLM)
+        from blocksparse_tpu.parallel import make_mesh
+
+        model = SparseTransformerLM(self._cfg(ep=2, pp=2, moe_experts=2))
+        ref_model = SparseTransformerLM(
+            self._cfg(moe_experts=2, stack_layers=True))
+        params = model.init(jax.random.PRNGKey(0))
+        ref_params = ref_model.init(jax.random.PRNGKey(0))
+
+        optm = AdamOptimizer(learning_rate=1e-3)
+        state = optm.init(params)
+        ref_state = optm.init(ref_params)
+
+        rng = np.random.RandomState(4)
+        tokens = jnp.asarray(rng.randint(0, 64, (8, 128)), jnp.int32)
+        targets = jnp.asarray(rng.randint(0, 64, (8, 128)), jnp.int32)
+        scale = jnp.asarray(64.0)
+
+        mesh = make_mesh(dp=2, pp=2, ep=2)
+        step = model.make_train_step(optm, mesh=mesh)
+        with mesh:
+            p1, s1, metrics, _ = step(params, state, tokens, targets,
+                                      scale)
+        jax.block_until_ready(p1)
+
+        ref_step = ref_model.make_train_step(optm)
+        rp1, rs1, rmetrics, _ = ref_step(ref_params, ref_state, tokens,
+                                         targets, scale)
+
+        assert np.isfinite(float(metrics["loss"]))
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(rmetrics["loss"]), atol=5e-5)
+        np.testing.assert_allclose(float(metrics["grad_norm"]),
+                                   float(rmetrics["grad_norm"]),
+                                   rtol=5e-4)
+        _tree_close_model(p1, rp1, atol=2.5e-3)
+
 
 def _tree_close_model(a, b, atol):
     la = jax.tree_util.tree_leaves_with_path(a)

@@ -12,7 +12,7 @@ from jax import shard_map
 
 from blocksparse_tpu.parallel import (
     make_mesh, allreduce, group_allreduce, reduce_scatter, all_gather,
-    sync_variables_op,
+    sync_variables_op, hierarchical_allreduce,
 )
 
 NDEV = jax.device_count()
@@ -35,6 +35,67 @@ def test_allreduce():
     y = f(x)
     expect = np.tile(np.asarray(x).sum(axis=0, keepdims=True), (NDEV, 1))
     np.testing.assert_allclose(np.asarray(y), expect)
+
+
+def test_hierarchical_allreduce_two_axis():
+    """The reference's prereduce (src/nccl_op.cc:174-191) as a two-level
+    ICI/DCN reduction: reduce_scatter over the fast axis, psum over the
+    slow axis, all_gather back — must equal the flat two-axis psum."""
+    if NDEV < 4:
+        import pytest
+        pytest.skip("needs a 2x(N/2) mesh")
+    dcn = 2
+    ici = NDEV // dcn
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()).reshape(dcn, ici), ("dcn", "ici"))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(NDEV, 2 * ici, 4), jnp.float32)
+
+    def hier(x):
+        return hierarchical_allreduce(x[0, 0], fast_axis="ici",
+                                      slow_axis="dcn")[None, None]
+
+    def flat(x):
+        return jax.lax.psum(x[0, 0], ("ici", "dcn"))[None, None]
+
+    spec = P("dcn", "ici", None, None)
+    xs = x.reshape(dcn, ici, 2 * ici, 4)
+    yh = shard_map(hier, mesh=mesh, in_specs=spec, out_specs=spec)(xs)
+    yf = shard_map(flat, mesh=mesh, in_specs=spec, out_specs=spec)(xs)
+    np.testing.assert_allclose(np.asarray(yh), np.asarray(yf), rtol=1e-5)
+    expect = np.asarray(x).sum(axis=0)
+    np.testing.assert_allclose(np.asarray(yh)[0, 0], expect, rtol=1e-5)
+
+    # odd leading dim: falls back to the flat psum, same result
+    xo = jnp.asarray(rng.randn(NDEV, 3, 4), jnp.float32)
+    xos = xo.reshape(dcn, ici, 3, 4)
+    yo = shard_map(hier, mesh=mesh, in_specs=spec, out_specs=spec)(xos)
+    np.testing.assert_allclose(np.asarray(yo)[0, 0],
+                               np.asarray(xo).sum(axis=0), rtol=1e-5)
+
+
+def test_allreduce_prereduce_kwarg():
+    """allreduce(prereduce=N, axis=(fast, slow)) routes through the
+    hierarchical path (reference nccl.py allreduce prereduce arg)."""
+    if NDEV < 4:
+        import pytest
+        pytest.skip("needs a 2x(N/2) mesh")
+    dcn = 2
+    ici = NDEV // dcn
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()).reshape(dcn, ici), ("dcn", "ici"))
+    x = jnp.asarray(np.random.RandomState(1).randn(NDEV, ici, 4),
+                    jnp.float32)
+
+    def f(x):
+        return allreduce(x[0, 0], prereduce=ici, axis=("ici", "dcn"))[
+            None, None]
+
+    spec = P("dcn", "ici", None, None)
+    y = shard_map(f, mesh=mesh, in_specs=spec,
+                  out_specs=spec)(x.reshape(dcn, ici, ici, 4))
+    np.testing.assert_allclose(np.asarray(y)[0, 0],
+                               np.asarray(x).sum(axis=0), rtol=1e-5)
 
 
 def test_group_allreduce_cast():

@@ -12,11 +12,13 @@ Design (TPU-first):
   2^32-element score tensor limit (src/bst_op.cc:214).
 * Grid is (batch*heads, schedule steps).  Each step processes a chunk of
   E key-blocks of one query block-row, gathered by LUT index.
-* Schedule arrays (k_idx, mcode) ride as ONE whole-array SMEM operand
-  each, NOT as scalar prefetch: Mosaic replicates scalar-prefetch arrays
-  per operand in SMEM, which capsizes at large layouts.  Only the tiny
-  O(S) row/first/last arrays (needed by the q/out BlockSpec index maps)
-  stay in scalar prefetch.
+* Schedule arrays ride PACKED into ONE flattened 1-D whole-array SMEM
+  operand (kidx*4096+mcode), NOT as scalar prefetch: Mosaic replicates
+  scalar-prefetch arrays per operand in SMEM, and 2-D/3-D SMEM windows
+  are lane-padded 16x — both capsize at large layouts (the ctx-16K
+  failure).  Only one packed O(S) row/first/last word (needed by the
+  q/out BlockSpec index maps) stays in scalar prefetch.  Dense-causal
+  ctx 32768 (S=16640) fits in ~0.6 MB SMEM under this packing.
 * Two K/V residency modes:
   - resident (default, small ctx): K and V live whole in VMEM for the
     head (ctx 8K x hs 64 bf16 = 1 MB) and blocks are gathered in-VMEM.
@@ -367,30 +369,91 @@ def _stream_gather(srcs, bufs, sems, kidx_ref, h, s, S, bh, E, g):
     return [buf[slot] for buf in bufs]
 
 
+# SMEM budget engineering (the round-3 ctx-16384 failure was an SMEM
+# overflow).  Three measures keep the schedule within the ~1 MB budget:
+#   1. FLATTEN to 1-D: a 3-D s32[(H, S, E)] SMEM window is lane-padded
+#      E->128 by Mosaic (16x at E=8; 672 KB per operand at ctx 16K).
+#      1-D SMEM arrays are stored densely.
+#   2. PACK (k_idx, mcode) into ONE int32 word kidx*4096 + mcode
+#      (kidx < 2^19 block-rows, mcode < 4096 codes) — halves the big
+#      schedule operand.
+#   3. PACK (row, first, last) prefetch scalars into one word
+#      row*4 + first*2 + last — prefetched operands are replicated
+#      per-operand by Mosaic, so 3 -> 1 saves 2*4*S bytes.
+# Net at dense-causal ctx 32768 (S=16640, E=8): 1.22 MB -> ~0.6 MB.
+_MCODE_BITS = 12           # mcode < 4096 (incl. unique-table codes)
+_MCODE_MOD = 1 << _MCODE_BITS
+
+
 def _sched_smem_specs():
-    """Whole-array SMEM specs for (k_idx, mcode)."""
-    return [pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM)]
+    """Whole-array SMEM spec for the packed (kidx, mcode) schedule."""
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+
+class _PackedHi:
+    """kidx view: scalar [h, s, i] reads -> packed_ref[...] // 4096."""
+
+    __slots__ = ("ref", "S", "E")
+
+    def __init__(self, ref, S, E):
+        self.ref, self.S, self.E = ref, S, E
+
+    def __getitem__(self, idx):
+        h, s, i = idx
+        return self.ref[(h * self.S + s) * self.E + i] // _MCODE_MOD
+
+
+class _PackedLo:
+    """mcode view: scalar [h, s, i] reads -> packed_ref[...] % 4096."""
+
+    __slots__ = ("ref", "S", "E")
+
+    def __init__(self, ref, S, E):
+        self.ref, self.S, self.E = ref, S, E
+
+    def __getitem__(self, idx):
+        h, s, i = idx
+        return jax.lax.rem(self.ref[(h * self.S + s) * self.E + i],
+                           _MCODE_MOD)
 
 
 def _sched_args(sched: AttnSchedule):
-    """(prefetch scalars…, kidx, mcode) operands for a schedule."""
-    return (jnp.asarray(sched.row), jnp.asarray(sched.first),
-            jnp.asarray(sched.last), jnp.asarray(sched.k_idx),
-            jnp.asarray(sched.mcode))
+    """(packed row/first/last prefetch scalar, packed kidx/mcode)
+    operands for a schedule."""
+    row = jnp.asarray(sched.row)
+    first = jnp.asarray(sched.first)
+    last = jnp.asarray(sched.last)
+    kidx = jnp.asarray(sched.k_idx).reshape(-1)
+    mcode = jnp.asarray(sched.mcode).reshape(-1)
+    if isinstance(sched.k_idx, np.ndarray):
+        assert int(sched.k_idx.max(initial=0)) < (1 << 19), \
+            "k_idx exceeds 2^19 block-rows (packed-schedule limit)"
+        assert int(sched.mcode.max(initial=0)) < _MCODE_MOD, \
+            "mcode exceeds 4095 (too many unique mask blocks)"
+    rfl = row * 4 + first * 2 + last
+    return (rfl.astype(jnp.int32),
+            (kidx * _MCODE_MOD + mcode).astype(jnp.int32))
 
 
-# index-map helpers: signature (bh, s, row, first, last)
-def _row_blk(bh, s, row, fi, la):
-    return (bh, row[s], 0)
+# index-map helpers: signature (bh, s, rfl) with rfl = row*4+first*2+last
+def _row_blk(bh, s, rfl):
+    return (bh, rfl[s] // 4, 0)
 
 
-def _whole(bh, s, row, fi, la):
+def _whole(bh, s, rfl):
     return (bh, 0, 0)
 
 
-def _fixed(bh, s, row, fi, la):
+def _fixed(bh, s, rfl):
     return (0, 0)
+
+
+def _rfl_first(rfl_ref, s):
+    return jax.lax.rem(rfl_ref[s] // 2, 2)
+
+
+def _rfl_last(rfl_ref, s):
+    return jax.lax.rem(rfl_ref[s], 2)
 
 
 def _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s, E, bs, hs,
@@ -410,18 +473,20 @@ def _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s, E, bs, hs,
 
 
 def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
-                 row_ref, first_ref, last_ref, kidx_ref, mcode_ref, *refs):
+                 rfl_ref, sched_ref, *refs):
     if stream:
         (q_ref, k_ref, v_ref, um_ref, out_ref,
          acc_ref, m_ref, l_ref, kbuf, vbuf, sems) = refs
     else:
         (q_ref, k_ref, v_ref, um_ref, out_ref,
          acc_ref, m_ref, l_ref) = refs
+    kidx_ref = _PackedHi(sched_ref, S, E)
+    mcode_ref = _PackedLo(sched_ref, S, E)
     s = pl.program_id(1)
     bh = pl.program_id(0)
     h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
-    @pl.when(first_ref[s] == 1)
+    @pl.when(_rfl_first(rfl_ref, s) == 1)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
@@ -475,7 +540,7 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
     l_ref[...] = l_new
     acc_ref[...] = acc_new
 
-    @pl.when(last_ref[s] == 1)
+    @pl.when(_rfl_last(rfl_ref, s) == 1)
     def _():
         out_ref[0] = (acc_new / jnp.maximum(l_new, 1e-30)) \
             .astype(out_ref.dtype)
@@ -538,7 +603,7 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(BH, S),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -572,19 +637,20 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
 # ------------------------------------------------------------------
 
 def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
-                         stream, S, row_ref, first_ref, last_ref, kidx_ref,
-                         mcode_ref, *refs):
+                         stream, S, rfl_ref, sched_ref, *refs):
     if stream:
         (q_ref, k_ref, v_ref, um_ref, out_ref, lse_ref,
          acc_ref, m_ref, l_ref, kbuf, vbuf, sems) = refs
     else:
         (q_ref, k_ref, v_ref, um_ref, out_ref, lse_ref,
          acc_ref, m_ref, l_ref) = refs
+    kidx_ref = _PackedHi(sched_ref, S, E)
+    mcode_ref = _PackedLo(sched_ref, S, E)
     s = pl.program_id(1)
     bh = pl.program_id(0)
     h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
-    @pl.when(first_ref[s] == 1)
+    @pl.when(_rfl_first(rfl_ref, s) == 1)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
@@ -636,7 +702,7 @@ def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
     m_ref[...] = m_new
     l_ref[...] = l_new
 
-    @pl.when(last_ref[s] == 1)
+    @pl.when(_rfl_last(rfl_ref, s) == 1)
     def _():
         l_safe = jnp.maximum(l_new, 1e-30)
         out_ref[0] = (acc_ref[...] / l_safe).astype(out_ref.dtype)
@@ -680,7 +746,7 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(BH, S),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -701,19 +767,20 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
 
 
 def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
-                    S, row_ref, first_ref, last_ref, kidx_ref, mcode_ref,
-                    *refs):
+                    S, rfl_ref, sched_ref, *refs):
     if stream:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dq_ref, acc_ref, kbuf, vbuf, sems) = refs
     else:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dq_ref, acc_ref) = refs
+    kidx_ref = _PackedHi(sched_ref, S, E)
+    mcode_ref = _PackedLo(sched_ref, S, E)
     s = pl.program_id(1)
     bh = pl.program_id(0)
     h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
-    @pl.when(first_ref[s] == 1)
+    @pl.when(_rfl_first(rfl_ref, s) == 1)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -762,25 +829,26 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
             ds.astype(kdt), kcat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    @pl.when(last_ref[s] == 1)
+    @pl.when(_rfl_last(rfl_ref, s) == 1)
     def _():
         dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
 def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
-                     S, row_ref, first_ref, last_ref, qidx_ref, mcode_ref,
-                     *refs):
+                     S, rfl_ref, sched_ref, *refs):
     if stream:
         (k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dk_ref, dv_ref, dk_acc, dv_acc, qbuf, dobuf, sems) = refs
     else:
         (k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    qidx_ref = _PackedHi(sched_ref, S, E)
+    mcode_ref = _PackedLo(sched_ref, S, E)
     s = pl.program_id(1)
     bh = pl.program_id(0)
     h = 0 if lut_heads == 1 else jax.lax.rem(bh, heads)
 
-    @pl.when(first_ref[s] == 1)
+    @pl.when(_rfl_first(rfl_ref, s) == 1)
     def _():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -849,7 +917,7 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
             ds_t.astype(qdt), qcat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    @pl.when(last_ref[s] == 1)
+    @pl.when(_rfl_last(rfl_ref, s) == 1)
     def _():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -913,7 +981,7 @@ def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(BH, S),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bs, out_w), _row_blk,
@@ -990,7 +1058,7 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
     if stream:
         scratch2 += _kv_stream_scratch(E2, bs, hs, q.dtype)
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(BH, S2),
         in_specs=in_specs2,
         out_specs=(

@@ -609,3 +609,58 @@ def test_fused_attention_streamed_per_head_layouts():
                                       heads, 0.2, stream=True)
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_packed_schedule_smem_budget_32k():
+    """Regression (round-4 ctx-16384 TPU failure): the schedule must ride
+    packed — one int32 word per (kidx, mcode) slot and one word per
+    (row, first, last) step — and a dense-causal ctx-32768 schedule must
+    fit the ~1 MB SMEM budget (it was 1.22 MB unpacked, 2.7 MB with the
+    16x lane padding of 3-D SMEM windows)."""
+    from blocksparse_tpu.kernels import bst_attn
+    from blocksparse_tpu.models.sparse_transformer import (
+        causal_subblock_mask)
+    from blocksparse_tpu.ops.transformer import BlocksparseTransformer
+
+    bs = 64
+    ctx_blks = 32768 // bs
+    lay = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+    bst = BlocksparseTransformer(lay, block_size=bs, heads=1,
+                                 mask_callback=causal_subblock_mask)
+    sched = bst.attn_schedule
+    rfl, packed = bst_attn._sched_args(sched)
+    # pack is bijective
+    kidx = np.asarray(packed) // bst_attn._MCODE_MOD
+    mcode = np.asarray(packed) % bst_attn._MCODE_MOD
+    np.testing.assert_array_equal(kidx, np.asarray(sched.k_idx).ravel())
+    np.testing.assert_array_equal(mcode, np.asarray(sched.mcode).ravel())
+    np.testing.assert_array_equal(np.asarray(rfl) // 4,
+                                  np.asarray(sched.row))
+    np.testing.assert_array_equal(np.asarray(rfl) % 2,
+                                  np.asarray(sched.last))
+    np.testing.assert_array_equal((np.asarray(rfl) // 2) % 2,
+                                  np.asarray(sched.first))
+    # SMEM accounting: packed schedule + 3x-replicated prefetch word
+    smem_bytes = packed.size * 4 + 3 * rfl.size * 4
+    assert smem_bytes < 1_000_000, smem_bytes
+
+
+def test_packed_schedule_numeric_parity_vs_unfused():
+    """The packed-schedule kernels must agree with the unfused XLA path
+    (same check the on-chip probe runs at ctx 16K/32K)."""
+    from blocksparse_tpu.models.sparse_transformer import (
+        fixed_layout, causal_subblock_mask)
+    from blocksparse_tpu.ops.transformer import BlocksparseTransformer
+
+    ctx, bs, heads, hs, batch = 256, 16, 2, 32, 2
+    lay = fixed_layout(ctx // bs, local_blocks=4)
+    bst = BlocksparseTransformer(lay, block_size=bs, heads=heads,
+                                 mask_callback=causal_subblock_mask)
+    rng = np.random.RandomState(7)
+    state = heads * hs
+    Q = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, ctx, state)),
+                    jnp.float32)
+    y_f = bst.attention(Q, Q, Q, scale=0.2, use_fused=True)
+    y_u = bst.attention(Q, Q, Q, scale=0.2, use_fused=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
+                               atol=2e-5)

@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""BlocksparseConv benchmark (VERDICT r2 #6: "no conv benchmark exists
-anywhere in-repo").
+"""BlocksparseConv benchmark on TPU (VERDICT r3 #4).
 
 Shapes follow the reference's conv regime (32x32 channel blocks, 3x3
-filters — src/blocksparse_conv_op.cc kernels are 32x32x{16,32}):
-C=K=1024 channels at several block densities, NCHW 32x32 images.
-Measures the two fixed-block lowerings (vmapped XLA convs vs
-tap-chunked gathered matmul) against a dense conv roofline, fwd and
-fwd+bwd, with slope-based chained timing (see bench.py).  Writes
-benchmarks/results_conv.json; the better lowering becomes the
+filters — src/blocksparse_conv_op.cc kernels are 32x32x{16,32};
+src/sass/xconv_blocksparse_32x32x16_fprop.sass is the capability this
+bench prices): 512-2048 channels at several block densities, NCHW
+32^2-64^2 images.  Measures the two fixed-block lowerings (vmapped XLA
+convs vs tap-chunked gathered matmul) against a dense lax.conv control,
+fwd and fwd+bwd, with anchor-validated slope timing (see bench.py).
+
+Roofline accounting (the round-3 harness divided by the measured dense
+time, which reports >1 whenever XLA's dense conv is itself off peak):
+* eff_tflops        = sparse FLOPs / time (the sparse op's real rate)
+* flops_roofline_fraction = eff_tflops / chip peak — the honest
+  fraction of machine roofline; never exceeds 1.
+* speedup_vs_dense and speedup_vs_density_scaled_dense remain the
+  relative columns (the latter CAN exceed 1 when dense conv is
+  inefficient — it is labeled as a speedup, not a fraction).
+
+Writes benchmarks/results_conv.json; the better lowering becomes the
 documented default for TPU.
 """
 import argparse
@@ -43,78 +53,118 @@ def make_bck(nb_c, nb_k, bC, bK, density, rng):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     p = argparse.ArgumentParser()
-    p.add_argument("--channels", type=int, default=1024 if on_tpu else 64)
+    p.add_argument("--channels", type=str,
+                   default="512,1024,2048" if on_tpu else "64")
     p.add_argument("--bsize", type=int, default=32 if on_tpu else 16)
     p.add_argument("--hw", type=int, default=32 if on_tpu else 8)
     p.add_argument("--batch", type=int, default=32 if on_tpu else 2)
     p.add_argument("--densities", type=str,
                    default="0.25,0.0625" if on_tpu else "0.5")
+    p.add_argument("--impls", type=str, default="conv,matmul")
     p.add_argument("--out", type=str, default=result_path("conv"))
     args = p.parse_args()
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    CK, b, HW, N = args.channels, args.bsize, args.hw, args.batch
-    nb = CK // b
+    # v5e chip peak (bench.py's dense matmul control measures 194 TF/s
+    # bf16 = 98% of 197); f32 runs the MXU at ~1/4 rate
+    PEAK_TF = 197.0 if dtype == jnp.bfloat16 else 49.0
+    b, HW, N = args.bsize, args.hw, args.batch
     rng = np.random.RandomState(0)
-    results = {"backend": jax.default_backend(), "channels": CK,
-               "bsize": b, "hw": HW, "batch": N, "rows": []}
+    results = {"backend": jax.default_backend(), "bsize": b, "hw": HW,
+               "batch": N, "dtype": str(dtype),
+               "peak_tflops_assumed": PEAK_TF, "rows": []}
 
-    # dense conv roofline at the same channel count
-    Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (CK, CK, 3, 3)), dtype)
-    xd = jnp.asarray(rng.uniform(-1, 1, (N, CK, HW, HW)), dtype)
-    dn = jax.lax.conv_dimension_numbers((N, CK, HW, HW), (CK, CK, 3, 3),
-                                        ("NCHW", "OIHW", "NCHW"))
+    def flush():
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
-    def dense_step(x):
-        return jax.lax.conv_general_dilated(
-            x, Wd, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(dtype)
+    for CK in [int(c) for c in args.channels.split(",")]:
+        nb = CK // b
+        # dense conv control at the same channel count
+        Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (CK, CK, 3, 3)), dtype)
+        xd = jnp.asarray(rng.uniform(-1, 1, (N, CK, HW, HW)), dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            (N, CK, HW, HW), (CK, CK, 3, 3), ("NCHW", "OIHW", "NCHW"))
 
-    (dt_dense,) = bench_slope([(dense_step, xd)], chains=(1, 3), iters=6)
-    dense_flops = 2 * CK * CK * 9 * HW * HW * N
-    results["dense_ms"] = round(dt_dense * 1e3, 3)
-    results["dense_tflops"] = round(dense_flops / dt_dense / 1e12, 2)
-    print(f"dense conv {CK}x{CK}x3x3 @{HW}^2 b{N}: {dt_dense*1e3:.3f} ms "
-          f"({results['dense_tflops']} TF/s)")
+        def dense_step(x, w):
+            return (jax.lax.conv_general_dilated(
+                x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(dtype)
+                * (1.0 / CK))
 
-    for density in [float(d) for d in args.densities.split(",")]:
-        BCK = make_bck(nb, nb, b, b, density, rng)
-        for impl in ("conv", "matmul"):
-            bsc = BlocksparseConv(BCK, (3, 3), (HW, HW), padding="SAME",
-                                  impl=impl)
-            F = jnp.asarray(rng.uniform(
-                -0.1, 0.1, (bsc.blocks, b, b, 3, 3)), dtype)
-            x0 = jnp.asarray(rng.uniform(-1, 1, bsc.i_shape(N)), dtype)
+        (dt_dense,), anch_d = bench_slope(
+            [(dense_step, xd, Wd)], chains=(1, 3), iters=6,
+            with_anchor=True, retries=3 if on_tpu else 0)
+        dense_flops = 2 * CK * CK * 9 * HW * HW * N
+        dense_tf = dense_flops / dt_dense / 1e12
+        results.setdefault("dense", []).append({
+            "channels": CK, "dense_ms": round(dt_dense * 1e3, 3),
+            "dense_tflops": round(dense_tf, 2),
+            "dense_roofline_fraction": round(dense_tf / PEAK_TF, 4),
+            "anchor_ms": anch_d["anchor_ms"],
+            "timing_valid": anch_d["timing_valid"]})
+        print(f"dense conv {CK}x{CK}x3x3 @{HW}^2 b{N}: "
+              f"{dt_dense*1e3:.3f} ms ({dense_tf:.2f} TF/s = "
+              f"{dense_tf/PEAK_TF:.3f} of peak)")
+        flush()
 
-            def fwd(x, bsc=bsc, F=F):
-                return bsc(F, x).astype(dtype)
+        for density in [float(d) for d in args.densities.split(",")]:
+            BCK = make_bck(nb, nb, b, b, density, rng)
+            for impl in args.impls.split(","):
+                try:
+                    bsc = BlocksparseConv(BCK, (3, 3), (HW, HW),
+                                          padding="SAME", impl=impl)
+                    F = jnp.asarray(rng.uniform(
+                        -0.1, 0.1, (bsc.blocks, b, b, 3, 3)), dtype)
+                    x0 = jnp.asarray(
+                        rng.uniform(-1, 1, bsc.i_shape(N)), dtype)
 
-            def fwdbwd(x, bsc=bsc, F=F):
-                def f(x):
-                    return jnp.sum(jnp.square(
-                        bsc(F, x).astype(jnp.float32)))
-                return jax.grad(f)(x).astype(dtype)
+                    def fwd(x, F, bsc=bsc):
+                        return (bsc(F, x).astype(dtype) * (1.0 / CK))
 
-            dt_f, dt_fb = bench_slope([(fwd, x0), (fwdbwd, x0)],
-                                      chains=(1, 3), iters=6)
-            d_eff = bsc.blocks / (nb * nb)
-            fl = bsc.flops * N
-            row = {"density": round(d_eff, 4), "impl": impl,
-                   "blocks": bsc.blocks,
-                   "fwd_ms": round(dt_f * 1e3, 3),
-                   "fwdbwd_ms": round(dt_fb * 1e3, 3),
-                   "fwd_speedup_vs_dense": round(dt_dense / dt_f, 2),
-                   "eff_tflops": round(fl / dt_f / 1e12, 2),
-                   "flops_fraction_of_dense_roofline": round(
-                       (d_eff * dt_dense) / dt_f, 4)}
-            results["rows"].append(row)
-            print(f"d={d_eff:.3f} impl={impl:6s} fwd {dt_f*1e3:8.3f} ms "
-                  f"({row['eff_tflops']:6.2f} TF/s, "
-                  f"{row['flops_fraction_of_dense_roofline']:.3f} of "
-                  f"density-scaled) fwd+bwd {dt_fb*1e3:8.3f} ms")
+                    def fwdbwd(x, F, bsc=bsc):
+                        def f(xx):
+                            return jnp.sum(jnp.square(
+                                bsc(F, xx).astype(jnp.float32)))
+                        return (x * 0.999
+                                + 1e-6 * jax.grad(f)(x)).astype(dtype)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+                    (dt_f, dt_fb), anch = bench_slope(
+                        [(fwd, x0, F), (fwdbwd, x0, F)],
+                        chains=(1, 3), iters=6, with_anchor=True,
+                        retries=3 if on_tpu else 0)
+                except Exception as e:
+                    results["rows"].append(
+                        {"channels": CK, "density": density,
+                         "impl": impl,
+                         "error": str(e).replace("\n", " ")[:300]})
+                    flush()
+                    print(f"C{CK} d={density} {impl}: FAILED "
+                          f"{str(e)[:100]}")
+                    continue
+                d_eff = bsc.blocks / (nb * nb)
+                fl = bsc.flops * N
+                eff = fl / dt_f / 1e12
+                row = {"channels": CK, "density": round(d_eff, 4),
+                       "impl": impl, "blocks": bsc.blocks,
+                       "fwd_ms": round(dt_f * 1e3, 3),
+                       "fwdbwd_ms": round(dt_fb * 1e3, 3),
+                       "eff_tflops": round(eff, 2),
+                       "flops_roofline_fraction": round(eff / PEAK_TF,
+                                                        4),
+                       "speedup_vs_dense": round(dt_dense / dt_f, 2),
+                       "speedup_vs_density_scaled_dense": round(
+                           (d_eff * dt_dense) / dt_f, 4),
+                       "anchor_ms": anch["anchor_ms"],
+                       "timing_valid": anch["timing_valid"]}
+                results["rows"].append(row)
+                flush()
+                print(f"C{CK} d={d_eff:.3f} impl={impl:6s} fwd "
+                      f"{dt_f*1e3:8.3f} ms ({eff:6.2f} TF/s = "
+                      f"{eff/PEAK_TF:.3f} of peak) fwd+bwd "
+                      f"{dt_fb*1e3:8.3f} ms")
+
+    flush()
     print(f"wrote {args.out}")
 
 

@@ -114,8 +114,16 @@ def main():
                 return (q * 0.999 + 1e-6 * dq).astype(dtype)
             return step
 
-        iters = max(4, 2048 * 16 // ctx) if on_tpu else 2
-        chains = (4, 16) if on_tpu else (1, 3)
+        # big ctx: keep the unrolled chain bodies small — compile time
+        # through the remote tunnel scales with chain length x schedule
+        # size, and per-app work (>=30 ms at 16K) dwarfs the scheduling
+        # quantum, so short chains lose no fidelity
+        if on_tpu and ctx >= 16384:
+            iters, chains = 2, (1, 3)
+        elif on_tpu:
+            iters, chains = max(4, 2048 * 16 // ctx), (4, 16)
+        else:
+            iters, chains = 2, (1, 3)
         jobs = [(mk_fwd(bst), Q), (mk_fwd(bst_d), Q),
                 (mk_fb(bst), Q), (mk_fb(bst_d), Q)]
         do_naive = ctx <= args.naive_max_ctx

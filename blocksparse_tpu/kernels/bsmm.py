@@ -770,17 +770,27 @@ class DenseTileSchedule:
     G: int
     blocks: int           # sentinel id for the appended zero block
     perm: np.ndarray | None = None   # (n_out_blocks,) row at each position
-    # variable-depth tails: a group's final chunk may run a narrower
-    # (M, Gt*bsize) dot — the full-width chunk pads every group's
-    # remainder up to G slots, billing up to a full extra MXU pass-set
-    # per group (6-9% on banded layouts).  tail[s]=1 marks such chunks;
-    # their slot lanes >= the real remainder repeat the previous chunk's
-    # slot so Mosaic's revisit logic skips their DMA.
-    tail: np.ndarray | None = None   # (S,) 1 on narrow-tail chunks
-    Gt: int = 0           # tail chunk slot count (0: no tails)
+    # pass-quantized width ladder (generalizes the round-3 two-width
+    # tails): a group's final chunk runs a (M, wcls[s]*128) dot — its
+    # contraction depth quantized to MXU passes — instead of padding to
+    # the full G slots.  The single static tail width Gt billed every
+    # small-union group the LARGEST remainder; per-chunk classes bill
+    # each group its own pass-quantized depth (critical for phased
+    # schedules, whose residual phases are full of small unions).
+    # Narrow chunks' unused slot lanes repeat the previous chunk's
+    # index so Mosaic's revisit logic skips their DMA.
+    wcls: np.ndarray | None = None   # (S,) chunk MXU pass count (1..P)
+    # Phased (flexible-cover) schedules: groups are arbitrary row-sets
+    # that may revisit a row across phases; rows_at[g, r] is the
+    # canonical output block-row of group g's lane band r (-1: padding).
+    # The wrapper segment-sums group tiles into canonical rows instead
+    # of permuting (build_dense_tile_schedule_phased).
+    rows_at: np.ndarray | None = None   # (groups, R) canonical row or -1
 
     @property
     def groups(self):
+        if self.rows_at is not None:
+            return self.rows_at.shape[0]
         return -(-self.n_out_blocks // self.R)
 
     @property
@@ -790,11 +800,9 @@ class DenseTileSchedule:
     def mxu_passes(self, bsize: int):
         """128-deep MXU pass-equivalents (chunks x ceil(depth/128))."""
         full = -(-(self.G * bsize) // CONTRACT)
-        if self.tail is None or self.Gt == 0:
+        if self.wcls is None:
             return self.num_chunks * full
-        n_tail = int(self.tail.sum())
-        t = -(-(self.Gt * bsize) // CONTRACT)
-        return (self.num_chunks - n_tail) * full + n_tail * t
+        return int(np.minimum(self.wcls, full).sum())
 
 
 def cluster_rows(entries_per_row, R: int) -> np.ndarray:
@@ -943,46 +951,31 @@ def choose_dense_tile_G(bsize: int, union_sizes) -> int:
     return int(best_g)
 
 
-def choose_dense_tile_G_tail(bsize: int, union_sizes):
-    """Pick (G, Gt) for a schedule with variable-depth tail chunks.
+def choose_dense_tile_G_ladder(bsize: int, union_sizes):
+    """Pick the full-chunk slot count G for a width-ladder schedule.
 
-    Same cost model as :func:`choose_dense_tile_G`, but each group's
-    remainder (union mod G) runs as ONE narrow chunk of static width
-    Gt = the largest remainder, pass-quantized — instead of padding to
-    a full G-wide chunk.  On uniform-union layouts (banded) the tail is
-    exact and recovers the whole padding loss (billed lanes drop to the
-    pass-quantized ideal); on mixed-union layouts it is never worse
-    than full-width padding.  Returns Gt=0 when tails don't help
-    (e.g. all unions divide G)."""
+    Each group emits floor(u/G) full-width chunks plus one remainder
+    chunk whose depth is quantized to MXU passes (the ladder) — so the
+    only G-dependent costs are the per-chunk overhead (large G
+    amortizes) and the full-chunk VMEM/panel width (capped at depth
+    768, measured round 2).  G is kept a multiple of the slots-per-pass
+    so full chunks bill whole passes."""
     u = np.asarray([max(int(x), 1) for x in union_sizes], np.int64)
-    g_max = max(1, 768 // bsize)
-    lanes_per_slot = bsize
-    best = (g_max, 0, None)   # (G, Gt, cost)
-    for G in range(1, g_max + 1):
-        full_lanes = -(-(G * lanes_per_slot) // CONTRACT) * CONTRACT
-        # no-tail cost (current behavior)
-        ch = np.maximum(1, -(-u // G))
-        cost0 = int(ch.sum()) * (full_lanes + STEP_OVERHEAD_LANES)
-        if best[2] is None or cost0 < best[2]:
-            best = (G, 0, cost0)
+    spp = max(1, CONTRACT // bsize)
+    g_max = max(spp, (768 // bsize) // spp * spp)
+    best_g, best_cost = g_max, None
+    for G in range(spp, g_max + 1, spp):
         full = u // G
         rem = u - full * G
-        if not (rem > 0).any():
-            continue
-        t_lanes = -(-(int(rem.max()) * lanes_per_slot) // CONTRACT) \
-            * CONTRACT
-        Gt = t_lanes // lanes_per_slot
-        if Gt >= G:
-            continue   # tail as wide as a full chunk: no benefit
-        steps_full = int(full.sum())
-        steps_tail = int((rem > 0).sum())
-        # groups whose union < G run a single tail chunk only when the
-        # tail covers them (rem==u there since full==0)
-        cost = (steps_full * (full_lanes + STEP_OVERHEAD_LANES)
-                + steps_tail * (t_lanes + STEP_OVERHEAD_LANES))
-        if cost < best[2]:
-            best = (G, int(Gt), cost)
-    return int(best[0]), int(best[1])
+        rem_lanes = -(-(rem * bsize) // CONTRACT) * CONTRACT
+        steps = full + (rem > 0)
+        steps = np.maximum(steps, 1)
+        lanes = full * G * bsize + np.where(rem > 0, rem_lanes, 0)
+        lanes = np.maximum(lanes, CONTRACT)   # empty group: 1 pass
+        cost = int(lanes.sum()) + int(steps.sum()) * STEP_OVERHEAD_LANES
+        if best_cost is None or cost < best_cost:
+            best_g, best_cost = G, cost
+    return int(best_g)
 
 
 def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
@@ -992,10 +985,10 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
                               tails: bool = True) -> DenseTileSchedule:
     """entries_per_row: list (len n_out_blocks) of lists of (in_blk, w_id).
 
-    tails=True (and G auto) enables variable-depth final chunks: each
-    group's remainder runs one narrow (M, Gt*bsize) dot instead of
-    zero-padding to the full chunk width (see
-    :func:`choose_dense_tile_G_tail`)."""
+    tails=True (and G auto) enables pass-quantized width-ladder final
+    chunks: each group's remainder runs one narrow (M, wcls*128) dot
+    instead of zero-padding to the full chunk width (see
+    :func:`choose_dense_tile_G_ladder`)."""
     R = R or max(1, CONTRACT // bsize)
     groups = -(-n_out_blocks // R)
     perm = None
@@ -1018,36 +1011,56 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
                 cols.add(cb)
         group_rows.append(ents_g)
         group_cols.append(sorted(cols))
-    Gt = 0
+    ladder = tails
     if G is None:
-        if tails:
-            G, Gt = choose_dense_tile_G_tail(
+        if ladder:
+            G = choose_dense_tile_G_ladder(
                 bsize, [len(c) for c in group_cols])
         else:
             G = choose_dense_tile_G(bsize, [len(c) for c in group_cols])
 
-    grp, last, tail, slot, wpos = [], [], [], [], []
+    return _emit_dense_tile_chunks(group_rows, group_cols, n_out_blocks,
+                                   bsize, blocks, R, G, ladder=ladder,
+                                   perm=perm)
+
+
+def _emit_dense_tile_chunks(group_rows, group_cols, n_out_blocks, bsize,
+                            blocks, R, G, ladder=False, perm=None,
+                            rows_at=None):
+    """Chunk emission shared by the partition and phased builders.
+    group_rows[g]: list of (lane band r, covered entries); group_cols[g]:
+    sorted column union of the covered entries.
+
+    ladder=True emits each group's remainder as ONE chunk whose width is
+    the remainder quantized to MXU passes (wcls = pass count); full
+    chunks carry wcls = G*bsize/128."""
+    groups = len(group_rows)
+    spp = max(1, CONTRACT // bsize)
+    grp, last, wcls, slot, wpos = [], [], [], [], []
     for g in range(groups):
         cols = group_cols[g]
         u = len(cols)
-        if Gt > 0:
+        if ladder:
             nfull = u // G
-            nrem = 1 if (u - nfull * G) > 0 or u == 0 else 0
-            nch = max(1, nfull + nrem)
+            rem = u - nfull * G
+            nch = max(1, nfull + (1 if rem > 0 else 0))
+            rem_slots = -(-max(rem, 1) // spp) * spp
         else:
             nfull = nch = max(1, -(-u // G))
-            nrem = 0
+            rem = 0
+            rem_slots = G
         slot_of = {cb: p for p, cb in enumerate(cols)}
         base = len(grp)
         for j in range(nch):
-            is_tail = Gt > 0 and j >= nfull
+            is_rem = ladder and j >= nfull
+            width = rem_slots if is_rem else G
             grp.append(g)
             last.append(1 if j == nch - 1 else 0)
-            tail.append(1 if is_tail else 0)
+            wcls.append(-(-(width * bsize) // CONTRACT))
             row = []
             for i in range(G):
                 p = j * G + i
-                if p < u and (not is_tail or i < Gt):
+                if p < u and i < width:
                     row.append(cols[p])
                 elif len(slot) > 0:
                     # repeat the previous chunk's slot: Mosaic's revisit
@@ -1067,7 +1080,76 @@ def build_dense_tile_schedule(entries_per_row, n_out_blocks: int, bsize: int,
         slot=np.asarray(slot, np.int32),
         wpos=np.stack(wpos).astype(np.int32),
         n_out_blocks=n_out_blocks, R=R, G=G, blocks=blocks, perm=perm,
-        tail=np.asarray(tail, np.int32) if Gt > 0 else None, Gt=Gt)
+        wcls=np.asarray(wcls, np.int32) if ladder else None,
+        rows_at=(None if rows_at is None
+                 else np.asarray(rows_at, np.int32)))
+
+
+def build_dense_tile_schedule_phased(entries_per_row, n_out_blocks: int,
+                                     bsize: int, blocks: int,
+                                     R: int | None = None,
+                                     thresholds=(3, 2, 2),
+                                     G: int | None = None,
+                                     tails: bool = True) -> DenseTileSchedule:
+    """Flexible-cover dense-tile schedule for low-locality layouts.
+
+    The fixed-partition builder's fill ceiling on iid-random layouts is
+    density/(1-(1-d)^R): ~62% of a group's union columns serve only ONE
+    of its R rows at d=0.25/R=4.  This builder covers the layout in
+    PHASES: each phase clusters the rows that still have uncovered
+    cells, groups them, and keeps only columns with >= threshold cells
+    in the group — the rest defer to the next phase, whose re-clustering
+    gives them a fresh chance at multiplicity.  The final phase takes
+    everything.  Measured ceilings at d=0.25 (tools/cover_study.py):
+    0.407 partition -> 0.518 with thresholds (3,2,2).
+
+    A row's output tile is now touched by up to len(thresholds)+1
+    groups, so the wrapper segment-sums group tiles into canonical rows
+    (rows_at) instead of permuting — the extra output traffic is one
+    (128, N) tile write + read per extra group, ~8 slot-equivalents,
+    which the slot savings repay several times over at bench shapes."""
+    R = R or max(1, CONTRACT // bsize)
+    residual = [list(ents) for ents in entries_per_row]
+    group_rows, group_cols, rows_at = [], [], []
+    for t in list(thresholds) + [1]:
+        active = [r for r in range(n_out_blocks) if residual[r]]
+        if not active:
+            break
+        ents_active = [residual[r] for r in active]
+        if len(active) > R:
+            perm = cluster_rows(ents_active, R)
+        else:
+            perm = np.arange(len(active))
+        for g0 in range(0, len(active), R):
+            prows = [active[int(perm[p])]
+                     for p in range(g0, min(g0 + R, len(active)))]
+            mult = {}
+            for row in prows:
+                for (cb, _w) in residual[row]:
+                    mult[cb] = mult.get(cb, 0) + 1
+            keep = {cb for cb, m in mult.items() if m >= t}
+            if not keep:
+                continue
+            ents_g, rat = [], []
+            for slot_r, row in enumerate(prows):
+                take = [e for e in residual[row] if e[0] in keep]
+                if take:
+                    residual[row] = [e for e in residual[row]
+                                     if e[0] not in keep]
+                ents_g.append((slot_r, take))
+                rat.append(row)
+            group_rows.append(ents_g)
+            group_cols.append(sorted(keep))
+            rows_at.append(rat + [-1] * (R - len(rat)))
+    if G is None:
+        if tails:
+            G = choose_dense_tile_G_ladder(
+                bsize, [len(c) for c in group_cols])
+        else:
+            G = choose_dense_tile_G(bsize, [len(c) for c in group_cols])
+    return _emit_dense_tile_chunks(group_rows, group_cols, n_out_blocks,
+                                   bsize, blocks, R, G, ladder=tails,
+                                   rows_at=rows_at)
 
 
 def dense_tile_panels(w, sched: DenseTileSchedule, trans_w: bool,
@@ -1143,34 +1225,38 @@ def _xprop_dense_tile_kernel(G, bsize, precision, grp_ref, last_ref,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _xprop_dense_tile_tail_kernel(G, Gt, bsize, precision, grp_ref,
-                                  last_ref, tail_ref, slot_ref, *refs):
-    """Dense-tile kernel with variable-depth tail chunks: a group's
-    final chunk runs a narrower (M, Gt*b) dot, saving the MXU passes a
-    full-width zero-padded chunk would bill.  Tail steps still carry G
-    slot operands, but the schedule repeats the previous chunk's block
-    index on unused lanes so Mosaic skips their DMA."""
+def _xprop_dense_tile_ladder_kernel(G, bsize, precision, grp_ref,
+                                    last_ref, wcls_ref, slot_ref, *refs):
+    """Dense-tile kernel with pass-quantized chunk widths: chunk s runs
+    a (M, wcls[s]*128) dot, billing exactly its quantized contraction
+    depth instead of the full G*bsize.  Narrow steps still carry G slot
+    operands, but the schedule repeats the previous chunk's block index
+    on unused lanes so Mosaic skips their DMA."""
     xs = refs[:G]
     w_ref, out_ref, acc_ref = refs[G], refs[G + 1], refs[G + 2]
     s = pl.program_id(1)
     prev = grp_ref[jnp.maximum(s - 1, 0)]
+    spp = max(1, CONTRACT // bsize)
+    p_full = max(1, (G * bsize) // CONTRACT)
 
     @pl.when(jnp.logical_or(s == 0, grp_ref[s] != prev))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(tail_ref[s] == 0)
+    for k in range(1, p_full):
+        @pl.when(wcls_ref[s] == k)
+        def _(k=k):
+            w = k * spp
+            xcat = jnp.concatenate([x[...] for x in xs[:w]], axis=0)
+            acc_ref[...] += jax.lax.dot_general(
+                w_ref[:, :w * bsize], xcat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(wcls_ref[s] >= p_full)
     def _():
         xcat = jnp.concatenate([x[...] for x in xs], axis=0)   # (Gb, TN)
         acc_ref[...] += jax.lax.dot_general(
             w_ref[...], xcat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-
-    @pl.when(tail_ref[s] == 1)
-    def _():
-        xcat = jnp.concatenate([x[...] for x in xs[:Gt]], axis=0)
-        acc_ref[...] += jax.lax.dot_general(
-            w_ref[:, :Gt * bsize], xcat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(last_ref[s] == 1)
@@ -1205,13 +1291,13 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     M = R * bsize
     out_dtype = out_dtype or x.dtype
 
-    with_tails = sched.tail is not None and sched.Gt > 0
+    with_ladder = sched.wcls is not None
 
-    if with_tails:
+    if with_ladder:
         def x_index(i):
-            return lambda n, s, gr, la, ta, sl, i=i: (sl[s * G + i], n)
-        w_index = lambda n, s, gr, la, ta, sl: (s, 0)           # noqa: E731
-        o_index = lambda n, s, gr, la, ta, sl: (gr[s], n)       # noqa: E731
+            return lambda n, s, gr, la, wc, sl, i=i: (sl[s * G + i], n)
+        w_index = lambda n, s, gr, la, wc, sl: (s, 0)           # noqa: E731
+        o_index = lambda n, s, gr, la, wc, sl: (gr[s], n)       # noqa: E731
     else:
         def x_index(i):
             return lambda n, s, gr, la, sl, i=i: (sl[s * G + i], n)
@@ -1232,17 +1318,17 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
         transcendentals=0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4 if with_tails else 3,
+        num_scalar_prefetch=4 if with_ladder else 3,
         grid=(N // TN, S),
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((M, TN), jnp.float32)],
     )
-    if with_tails:
-        kernel = functools.partial(_xprop_dense_tile_tail_kernel,
-                                   G, sched.Gt, bsize, prec)
+    if with_ladder:
+        kernel = functools.partial(_xprop_dense_tile_ladder_kernel,
+                                   G, bsize, prec)
         prefetch = (jnp.asarray(sched.grp), jnp.asarray(sched.last),
-                    jnp.asarray(sched.tail),
+                    jnp.asarray(sched.wcls),
                     jnp.asarray(sched.slot.reshape(-1)))
     else:
         kernel = functools.partial(_xprop_dense_tile_kernel, G, bsize, prec)
@@ -1256,7 +1342,17 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
         interpret=use_interpret(),
     )
     out = fn(*prefetch, *([x] * G), w_panels.reshape(S * M, G * bsize))
-    if sched.perm is not None:
+    if sched.rows_at is not None:
+        # phased cover: a canonical row owns tiles in several groups —
+        # segment-sum them (f32 accumulate, one XLA scatter-add)
+        ids = sched.rows_at.reshape(-1).astype(np.int32)
+        ids = np.where(ids < 0, sched.n_out_blocks, ids)
+        out = jax.ops.segment_sum(
+            out.reshape(groups * R, bsize, N).astype(jnp.float32),
+            jnp.asarray(ids), num_segments=sched.n_out_blocks + 1)
+        out = out[:sched.n_out_blocks].astype(out_dtype) \
+            .reshape(sched.n_out_blocks * bsize, N)
+    elif sched.perm is not None:
         pos_of = np.empty(sched.n_out_blocks, np.int64)
         pos_of[sched.perm] = np.arange(sched.n_out_blocks)
         out = out.reshape(groups * R, bsize, N)[jnp.asarray(pos_of)]

@@ -29,7 +29,8 @@ from blocksparse_tpu.kernels.bsmm import (
     default_rows_per_group, choose_contract_blocks,
     grouped_vmem_estimate, packed_len, packed_positions,
     fprop_panels_from_packed, build_supertile_schedule, CONTRACT,
-    build_dense_tile_schedule, build_updat_dense_tile_schedule,
+    build_dense_tile_schedule, build_dense_tile_schedule_phased,
+    build_updat_dense_tile_schedule,
     dense_tile_panels, dense_tile_vmem_estimate,
     dense_tile_flat_pos, dense_tile_blocks_view,
     build_window_schedule, window_vmem_estimate,
@@ -212,6 +213,34 @@ class BlocksparseMatMul:
                                                  cluster=True)
             updat_dt = build_updat_dense_tile_schedule(updat_list, CB,
                                                        block_size)
+            # flexible-cover (phased) alternative: on low-locality
+            # layouts deferring single-multiplicity columns to
+            # re-clustered residual phases raises fill well past the
+            # partition ceiling (kernels/bsmm.py builder docstring).
+            # Cost model: billed lanes + per-chunk overhead + ~2
+            # pass-equivalents per extra group for the segment-sum's
+            # out-tile write+read.  Banded/local layouts keep phase 1
+            # at full multiplicity, so the model picks the partition.
+            def _dt_cost(s, base_groups):
+                extra = max(0, s.groups - base_groups) \
+                    if s.rows_at is not None else 0
+                from blocksparse_tpu.kernels.bsmm import (
+                    CONTRACT as _CT, STEP_OVERHEAD_LANES as _SO)
+                return (s.mxu_passes(block_size) * _CT
+                        + s.num_chunks * _SO + extra * 2 * _CT)
+
+            if dense_tile_G is None:
+                for th in ((2,), (3, 2), (3, 2, 2)):
+                    f_ph = build_dense_tile_schedule_phased(
+                        fprop_rows, KB, block_size, blocks, thresholds=th)
+                    if _dt_cost(f_ph, -(-KB // R_dt)) \
+                            < _dt_cost(fprop_dt, -(-KB // R_dt)):
+                        fprop_dt = f_ph
+                    b_ph = build_dense_tile_schedule_phased(
+                        bprop_rows, CB, block_size, blocks, thresholds=th)
+                    if _dt_cost(b_ph, -(-CB // R_dt)) \
+                            < _dt_cost(bprop_dt, -(-CB // R_dt)):
+                        bprop_dt = b_ph
 
             def _chunks(s):
                 # MXU pass-equivalents: a chunk of contraction depth G*b
@@ -633,6 +662,14 @@ class BlocksparseMatMul:
         """
         impl = self.impl or _default_impl()
         if impl == "pallas":
+            # IEEE fp16 (the reference's ehalf fast path, gpu_types.h:15)
+            # has no MXU format on TPU and Mosaic rejects f16 dots: run
+            # the kernels in bfloat16 — the TPU's half-precision fast
+            # path — and emit f16.  (XLA fallback path takes f16 as-is.)
+            out_dt = x.dtype
+            if out_dt == jnp.float16:
+                x = x.astype(jnp.bfloat16)
+                w = w.astype(jnp.bfloat16)
             xcn = x if self.axis == 0 else x.T
             xp, n0 = self._pallas_pad(xcn, True)
             y = None
@@ -685,7 +722,7 @@ class BlocksparseMatMul:
                     y = bsmm_kernels.xprop_pallas(
                         xp, wc, self.fprop_sched, self.bsize,
                         False, self.KB, tile_n=self.tile_n)
-            y = y[:, :n0].astype(x.dtype)
+            y = y[:, :n0].astype(out_dt)
             return y if self.axis == 0 else y.T
         ib, wb, ob = self._fprop_flat
         return bsmm_kernels.xprop_xla(x, self._canonical_w(w), ib, wb, ob,
@@ -695,6 +732,10 @@ class BlocksparseMatMul:
     def _bprop_impl(self, dy, w):
         impl = self.impl or _default_impl()
         if impl == "pallas":
+            out_dt = dy.dtype
+            if out_dt == jnp.float16:   # see _fprop_impl
+                dy = dy.astype(jnp.bfloat16)
+                w = w.astype(jnp.bfloat16)
             dycn = dy if self.axis == 0 else dy.T
             dyp, n0 = self._pallas_pad(dycn, True)
             dx = None
@@ -747,7 +788,7 @@ class BlocksparseMatMul:
                     dx = bsmm_kernels.xprop_pallas(
                         dyp, wc, self.bprop_sched, self.bsize,
                         True, self.CB, tile_n=self.tile_n)
-            dx = dx[:, :n0].astype(dy.dtype)
+            dx = dx[:, :n0].astype(out_dt)
             return dx if self.axis == 0 else dx.T
         ib, wb, ob = self._bprop_flat
         return bsmm_kernels.xprop_xla(dy, self._canonical_w(w), ib, wb, ob,
@@ -757,6 +798,10 @@ class BlocksparseMatMul:
     def _updat_impl(self, x, dy):
         impl = self.impl or _default_impl()
         if impl == "pallas":
+            if x.dtype == jnp.float16:   # see _fprop_impl
+                x = x.astype(jnp.bfloat16)
+            if dy.dtype == jnp.float16:
+                dy = dy.astype(jnp.bfloat16)
             xcn = x if self.axis == 0 else x.T
             dycn = dy if self.axis == 0 else dy.T
             xp, _ = self._pallas_pad(xcn, True)

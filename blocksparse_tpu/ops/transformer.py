@@ -975,6 +975,15 @@ def _bst_attention(self, q, k, v, scale=1.0, use_fused=None,
         use_fused = _can_fuse(self, hs, self.ctx_blks_k * self.blk_size,
                               q.dtype.itemsize)
     if use_fused:
+        if q.dtype == jnp.float16:
+            # IEEE fp16 (reference ehalf, gpu_types.h:15) has no MXU
+            # format on TPU and Mosaic rejects f16 dots: run the fused
+            # kernels in bfloat16 — the TPU half fast path — emit f16
+            y = _attention_fused(self, q.astype(jnp.bfloat16),
+                                 k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), scale,
+                                 flash_bwd=flash_bwd)
+            return y.astype(jnp.float16)
         return _attention_fused(self, q, k, v, scale, flash_bwd=flash_bwd)
     w = self.nt_op(q, k)
     p = self.masked_softmax(w, scale=scale)

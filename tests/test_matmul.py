@@ -687,12 +687,11 @@ def test_native_cluster_rows_parity():
 
 
 def test_dense_tile_tail_chunks():
-    """Variable-depth tail chunks: banded layouts have uniform unions
-    whose remainder mod G runs as one narrow chunk (kernels/bsmm.py
-    _xprop_dense_tile_tail_kernel); golden parity plus schedule
-    accounting (billed passes strictly drop vs full-width padding)."""
-    from blocksparse_tpu.kernels.bsmm import (
-        build_dense_tile_schedule, choose_dense_tile_G_tail)
+    """Pass-quantized width-ladder chunks: banded layouts have uniform
+    unions whose remainder mod G runs as one narrow chunk (kernels/
+    bsmm.py _xprop_dense_tile_ladder_kernel); golden parity plus
+    schedule accounting (billed passes <= full-width padding)."""
+    from blocksparse_tpu.kernels.bsmm import build_dense_tile_schedule
     nb = 24
     lay = np.zeros((nb, nb), np.int32)
     for q in range(nb):           # band of 9 -> union 10 at R=4
@@ -701,9 +700,11 @@ def test_dense_tile_tail_chunks():
                              impl="pallas", mode="dense_tile")
     sched = bsmm.fprop_dt
     assert sched is not None
-    if sched.Gt > 0:
-        assert sched.tail is not None and sched.tail.sum() > 0
-        # tails bill fewer pass-equivalents than full-width padding
+    if sched.wcls is not None:
+        # narrow chunks exist and bill fewer pass-equivalents than
+        # full-width padding
+        full_p = max(1, (sched.G * 32) // 128)
+        assert (sched.wcls < full_p).any()
         full = build_dense_tile_schedule(
             [[(int(c), 0) for c in np.nonzero(lay[r])[0]]
              for r in range(nb)], nb, 32, int(lay.sum()), tails=False)
@@ -730,3 +731,89 @@ def test_dense_tile_tail_chunks():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(DWc, bsmm.updat_test(X, E),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dense_tile_phased_cover():
+    """Flexible-cover (phased) schedules: cells partition across phases,
+    the wrapper segment-sums group tiles, and billed passes drop below
+    the fixed-partition ceiling on random layouts (kernels/bsmm.py
+    build_dense_tile_schedule_phased)."""
+    from blocksparse_tpu.kernels import bsmm as K
+
+    rng = np.random.RandomState(0)
+    n = 24
+    lay = (rng.rand(n, n) < 0.3).astype(np.int32)
+    lay[np.arange(n), np.arange(n)] = 1
+    rows = [[] for _ in range(n)]
+    wid = 0
+    for cb in range(n):
+        for kb in range(n):
+            if lay[cb, kb]:
+                rows[kb].append((cb, wid))
+                wid += 1
+    sch = K.build_dense_tile_schedule_phased(rows, n, 32, wid,
+                                             thresholds=(2,))
+    assert sch.rows_at is not None
+    # every cell covered exactly once
+    ids = sch.wpos[sch.wpos != wid]
+    assert sorted(ids.tolist()) == list(range(wid))
+    # revisited rows exist (the point of the cover)
+    flat = sch.rows_at.reshape(-1)
+    flat = flat[flat >= 0]
+    assert len(flat) > len(np.unique(flat))
+    W = rng.uniform(-1, 1, (wid, 32, 32)).astype(np.float32)
+    X = rng.uniform(-1, 1, (n * 32, 128)).astype(np.float32)
+    panels = K.dense_tile_panels(jnp.asarray(W), sch, trans_w=False)
+    y = np.asarray(K.xprop_pallas_dense_tile(jnp.asarray(X), panels,
+                                             sch, 32))
+    yg = np.zeros((n * 32, 128), np.float32)
+    for kb in range(n):
+        for (cb, w) in rows[kb]:
+            yg[kb * 32:(kb + 1) * 32] += W[w].T @ X[cb * 32:(cb + 1) * 32]
+    np.testing.assert_allclose(y, yg, rtol=1e-4, atol=1e-4)
+
+
+def test_dense_tile_phased_autopick_large_random():
+    """The mode cost model picks the phased cover on a bench-scale
+    random layout and the pick lowers billed MXU passes."""
+    from blocksparse_tpu.kernels.bsmm import build_dense_tile_schedule
+
+    rng = np.random.RandomState(3)
+    n = 128
+    lay = (rng.rand(n, n) < 0.25).astype(np.int32)
+    lay[np.arange(n), np.arange(n)] = 1
+    bsm = BlocksparseMatMul(lay, block_size=32, feature_axis=0)
+    f = bsm.fprop_dt
+    assert f is not None and f.rows_at is not None
+    rows = [[(int(c), 0) for c in np.nonzero(lay[:, kb])[0]]
+            for kb in range(n)]
+    plain = build_dense_tile_schedule(rows, n, 32, int(lay.sum()),
+                                      cluster=True)
+    assert f.mxu_passes(32) < plain.mxu_passes(32)
+
+
+def test_fp16_pallas_fwd_bwd():
+    """IEEE fp16 (the reference's ehalf, gpu_types.h:15) through the
+    Pallas path: computed in bfloat16 (TPU has no fp16 MXU format;
+    Mosaic rejects f16 dots), emitted as f16, grads dtyped f16."""
+    layout = random_layout(6, 6, 0.4, seed=2)
+    bsmm = BlocksparseMatMul(layout, block_size=32, feature_axis=0,
+                             impl="pallas")
+    X = np.random.uniform(-1, 1, bsmm.i_shape(64)).astype(np.float16)
+    W = np.random.uniform(-1, 1, bsmm.w_shape).astype(np.float16)
+    E = np.random.uniform(-1, 1, bsmm.o_shape(64)).astype(np.float16)
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y.astype(jnp.float32) * E.astype(np.float32)), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(W))
+    assert Y.dtype == jnp.float16
+    assert DX.dtype == jnp.float16 and DW.dtype == jnp.float16
+    Yg = bsmm.fprop_test(X.astype(np.float32), W.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(Y, np.float32), Yg,
+                               rtol=3e-2, atol=3e-2)
+    DXg = bsmm.bprop_test(E.astype(np.float32), W.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(DX, np.float32), DXg,
+                               rtol=3e-2, atol=3e-2)

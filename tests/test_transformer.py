@@ -664,3 +664,28 @@ def test_packed_schedule_numeric_parity_vs_unfused():
     y_u = bst.attention(Q, Q, Q, scale=0.2, use_fused=False)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
                                atol=2e-5)
+
+
+def test_fused_attention_fp16():
+    """fp16 q/k/v through the fused kernel: bf16 compute, f16 out
+    (see ops/transformer.py _bst_attention)."""
+    from blocksparse_tpu.models.sparse_transformer import (
+        fixed_layout, causal_subblock_mask)
+    from blocksparse_tpu.ops.transformer import BlocksparseTransformer
+
+    bst = BlocksparseTransformer(fixed_layout(8, local_blocks=4),
+                                 block_size=16, heads=2,
+                                 mask_callback=causal_subblock_mask)
+    rng = np.random.RandomState(11)
+    Q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 128, 64)), jnp.float16)
+
+    def loss(q):
+        y = bst.attention(q, q, q, scale=0.25, use_fused=True)
+        return jnp.sum(jnp.square(y.astype(jnp.float32))), y
+
+    (_, y), g = jax.value_and_grad(loss, has_aux=True)(Q)
+    assert y.dtype == jnp.float16 and g.dtype == jnp.float16
+    yu = bst.attention(Q, Q, Q, scale=0.25, use_fused=False)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(yu, np.float32),
+                               rtol=2e-2, atol=2e-2)

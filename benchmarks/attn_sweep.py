@@ -51,6 +51,10 @@ def main():
     p.add_argument("--hs", type=int, default=64 if on_tpu else 32)
     p.add_argument("--bsize", type=int, default=64)
     p.add_argument("--local_blocks", type=int, default=8)
+    p.add_argument("--num_verts", type=int, default=4,
+                   help="summary-column period of the fixed pattern; "
+                        "larger = sparser (sparsity vs causal caps at "
+                        "1 - 1/num_verts asymptotically)")
     p.add_argument("--out", type=str,
                    default=result_path("attn"))
     args = p.parse_args()
@@ -69,7 +73,8 @@ def main():
 
     for ctx in [int(c) for c in args.ctxs.split(",")]:
         ctx_blks = ctx // args.bsize
-        lay = fixed_layout(ctx_blks, local_blocks=args.local_blocks)
+        lay = fixed_layout(ctx_blks, local_blocks=args.local_blocks,
+                           num_verts=args.num_verts)
         bst = BlocksparseTransformer(lay, block_size=args.bsize,
                                      heads=args.heads,
                                      mask_callback=causal_subblock_mask)

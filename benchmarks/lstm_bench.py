@@ -59,11 +59,13 @@ def main():
     from bench import anchor_slope_ms, checksum, ANCHOR_RANGE_MS, \
         result_path
 
-    def make_chain(n):
+    def make_chain(n, impl=None):
+        impl = impl or step_impl
+
         def chain(params, state, ema_state, x, y):
             def body(carry, _):
                 p, s, e = carry
-                p, s, e, loss = step_impl(p, s, e, x, y)
+                p, s, e, loss = impl(p, s, e, x, y)
                 return (p, s, e), loss
             (p, s, e), losses = jax.lax.scan(
                 body, (params, state, ema_state), None, length=n)
@@ -77,6 +79,34 @@ def main():
         params, state = optm.apply(grads, params, state, norm_scale=ns)
         ema_state = ema.apply(params, ema_state)
         return params, state, ema_state, loss
+
+    # component-isolated steps for the per-step breakdown (VERDICT r3
+    # #9): fwd only, fwd+bwd (no update), update only (fixed grads).
+    # bwd = (fwd+bwd) - fwd; residual = full - (fwd+bwd) - update.
+    def step_fwd(params, state, ema_state, x, y):
+        loss = model.loss(params, x, y)
+        # data-dependence: fold the loss into a param leaf copy so the
+        # chain cannot be collapsed by CSE
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        leaves = [leaves[0] * (1.0 + 0.0 * loss)] + leaves[1:]
+        return (jax.tree_util.tree_unflatten(treedef, leaves), state,
+                ema_state, loss)
+
+    def step_fwdbwd(params, state, ema_state, x, y):
+        loss, grads = jax.value_and_grad(model.loss)(params, x, y)
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - 1e-12 * g.astype(p.dtype), params, grads)
+        return params, state, ema_state, loss
+
+    def step_update(params, state, ema_state, x, y):
+        # grads derived from params cheaply (no model compute)
+        grads = jax.tree_util.tree_map(lambda p: p * 1e-6, params)
+        gn, ns = bs.clip_by_global_norm(jax.tree_util.tree_leaves(grads),
+                                        clip_norm=1.0)
+        params, state = optm.apply(grads, params, state, norm_scale=ns)
+        ema_state = ema.apply(params, ema_state)
+        return (params, state, ema_state,
+                jnp.asarray(0.0, jnp.float32))
 
     reps = 3
     rng2 = np.random.RandomState(7)
@@ -94,16 +124,19 @@ def main():
         return best
 
     n1, n2 = (4, 16) if on_tpu else (1, 3)
-    c1 = jax.jit(make_chain(n1)).lower(
-        params, state, ema_state, x, y).compile()
-    c2 = jax.jit(make_chain(n2)).lower(
-        params, state, ema_state, x, y).compile()
-    float(c1(params, state, ema_state, x, y))  # warm
+
+    def slope_for(impl):
+        c1 = jax.jit(make_chain(n1, impl)).lower(
+            params, state, ema_state, x, y).compile()
+        c2 = jax.jit(make_chain(n2, impl)).lower(
+            params, state, ema_state, x, y).compile()
+        float(c1(params, state, ema_state, x, y))  # warm
+        t1, t2 = timed_min(c1), timed_min(c2)
+        return (t2 - t1) / (n2 - n1)
 
     anchor_ms, dt = None, None
     for attempt in range(4):
-        t1, t2 = timed_min(c1), timed_min(c2)
-        dt = (t2 - t1) / (n2 - n1)
+        dt = slope_for(step_impl)
         if not on_tpu:
             break
         anchor_ms = anchor_slope_ms()
@@ -113,6 +146,22 @@ def main():
         print(f"[lstm_bench] anchor {anchor_ms:.3f} ms / slope "
               f"{dt*1e3:.3f} ms — contended window, retrying", flush=True)
         time.sleep(45)
+
+    # component breakdown (same window; each is its own slope)
+    dt_fwd = slope_for(step_fwd)
+    dt_fb = slope_for(step_fwdbwd)
+    dt_upd = slope_for(step_update)
+
+    # FLOPs model for the roofline verdict: per sample-step the
+    # recurrent bsmm runs isteps times on (nhidden, batch); fwd+bwd
+    # costs 3x fprop FLOPs (dx + dw).  Projections/embed/logits add the
+    # proj and vocab matmuls.
+    per_col = (model.bsmm_h.flops * cfg.isteps * cfg.nsteps
+               + 2 * cfg.nhidden * (cfg.nproj_in + cfg.nproj_out)
+               * cfg.nsteps
+               + 2 * cfg.nproj_out * 256 * cfg.nsteps)
+    train_flops = 3 * per_col * batch
+    peak_tf = 197.0 if on_tpu else 1.0
 
     res = {
         "nhidden": cfg.nhidden, "nsteps": cfg.nsteps, "batch": batch,
@@ -127,6 +176,16 @@ def main():
                              <= ANCHOR_RANGE_MS[1])),
         "reference_log_it_per_s": "6.4-6.9 (4 GPUs, train.py:330-368)",
         "backend": jax.default_backend(),
+        "breakdown_ms": {
+            "fwd": round(dt_fwd * 1e3, 2),
+            "bwd": round((dt_fb - dt_fwd) * 1e3, 2),
+            "optimizer_ema_clip": round(dt_upd * 1e3, 2),
+            "residual_vs_full": round((dt - dt_fb - dt_upd) * 1e3, 2),
+        },
+        "model_train_tflops": round(train_flops / 1e12, 3),
+        "eff_tflops_at_full_step": round(train_flops / dt / 1e12, 2),
+        "flops_roofline_fraction": round(train_flops / dt / 1e12
+                                         / peak_tf, 4),
     }
     out = result_path("lstm")
     with open(out, "w") as f:

@@ -1344,14 +1344,8 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     out = fn(*prefetch, *([x] * G), w_panels.reshape(S * M, G * bsize))
     if sched.rows_at is not None:
         # phased cover: a canonical row owns tiles in several groups —
-        # segment-sum them (f32 accumulate, one XLA scatter-add)
-        ids = sched.rows_at.reshape(-1).astype(np.int32)
-        ids = np.where(ids < 0, sched.n_out_blocks, ids)
-        out = jax.ops.segment_sum(
-            out.reshape(groups * R, bsize, N).astype(jnp.float32),
-            jnp.asarray(ids), num_segments=sched.n_out_blocks + 1)
-        out = out[:sched.n_out_blocks].astype(out_dtype) \
-            .reshape(sched.n_out_blocks * bsize, N)
+        # gather-sum them (a scatter-add segment_sum serializes on TPU)
+        out = merge_phased_tiles(out, sched, bsize, TN, out_dtype)
     elif sched.perm is not None:
         pos_of = np.empty(sched.n_out_blocks, np.int64)
         pos_of[sched.perm] = np.arange(sched.n_out_blocks)
@@ -1360,6 +1354,78 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     elif groups * R != sched.n_out_blocks:
         out = out[:sched.n_out_blocks * bsize]
     return out
+
+
+def phased_merge_idx(sched: DenseTileSchedule) -> np.ndarray:
+    """(n_out_blocks, P) flat tile ids (g*R + slot) contributing to each
+    canonical row; sentinel = groups*R points at an appended zeros tile.
+    P = max groups touching one row (phase count bound).  Cached on the
+    schedule — host-side, built once."""
+    if getattr(sched, "_merge_idx", None) is not None:
+        return sched._merge_idx
+    groups, R = sched.rows_at.shape
+    contrib = [[] for _ in range(sched.n_out_blocks)]
+    for g in range(groups):
+        for r in range(R):
+            row = int(sched.rows_at[g, r])
+            if row >= 0:
+                contrib[row].append(g * R + r)
+    P = max(1, max(len(c) for c in contrib))
+    idx = np.full((sched.n_out_blocks, P), groups * R, np.int32)
+    for q, c in enumerate(contrib):
+        idx[q, :len(c)] = c
+    object.__setattr__(sched, "_merge_idx", idx)
+    return idx
+
+
+def _merge_tiles_kernel(P, idx_ref, *refs):
+    ins, out_ref = refs[:P], refs[P]
+    acc = ins[0][...].astype(jnp.float32)
+    for p in range(1, P):
+        acc += ins[p][...].astype(jnp.float32)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def merge_phased_tiles(out, sched: DenseTileSchedule, bsize: int,
+                       TN: int, out_dtype):
+    """Sum per-group out tiles into canonical rows with a gather-style
+    Pallas kernel: grid (N//TN, n_out_blocks); input p of row q is tile
+    idx[q, p] of the padded tile stack (sentinel -> zeros).  Pure
+    sequential reads + one write — a scatter-add segment_sum over the
+    same tiles serializes on TPU (measured ~ms-scale at bench shapes)."""
+    groups, R = sched.rows_at.shape
+    N = out.shape[1]
+    idx = phased_merge_idx(sched)
+    P = idx.shape[1]
+    padded = jnp.concatenate(
+        [out, jnp.zeros((bsize, N), out.dtype)], axis=0)
+
+    def in_index(p):
+        return lambda n, q, ix, p=p: (ix[q * P + p], n)
+
+    in_specs = [pl.BlockSpec((bsize, TN), in_index(p),
+                             memory_space=pltpu.VMEM) for p in range(P)]
+    out_spec = pl.BlockSpec(
+        (bsize, TN), lambda n, q, ix: (q, n), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // TN, sched.n_out_blocks),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    fn = pl.pallas_call(
+        functools.partial(_merge_tiles_kernel, P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (sched.n_out_blocks * bsize, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=P * sched.n_out_blocks * bsize * N,
+            bytes_accessed=(P + 1) * sched.n_out_blocks * bsize * N
+            * out.dtype.itemsize,
+            transcendentals=0),
+        interpret=use_interpret(),
+    )
+    return fn(jnp.asarray(idx.reshape(-1)), *([padded] * P))
 
 
 def dense_tile_vmem_estimate(C, TN, itemsize, sched: DenseTileSchedule,

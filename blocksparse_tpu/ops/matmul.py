@@ -39,6 +39,18 @@ import copy as _copy
 from blocksparse_tpu.kernels.common import pick_tile
 
 
+# Measured on-chip cost of one extra phased-cover group, in MXU
+# pass-equivalents (benchmarks/results_phased_ab.json; see the cost
+# model in BlocksparseMatMul.__init__).  With the Pallas gather merge
+# (kernels/bsmm.py merge_phased_tiles) an extra group costs ~8.4
+# pass-equivalents: phased_fwd 1.555 ms vs pass-proportional 0.884 ms
+# over 192 extra groups at the headline random 8192^2/b32/d=0.25
+# config.  (The original XLA segment_sum merge put this at ~22 and
+# regressed the headline 2.1x.)  Module-level so probes can force
+# phased selection (tools/tpu_phased_ab.py).
+PHASED_EXTRA_GROUP_PASSES = 9
+
+
 def _default_impl():
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
@@ -217,17 +229,25 @@ class BlocksparseMatMul:
             # layouts deferring single-multiplicity columns to
             # re-clustered residual phases raises fill well past the
             # partition ceiling (kernels/bsmm.py builder docstring).
-            # Cost model: billed lanes + per-chunk overhead + ~2
-            # pass-equivalents per extra group for the segment-sum's
-            # out-tile write+read.  Banded/local layouts keep phase 1
-            # at full multiplicity, so the model picks the partition.
+            # Cost model: billed lanes + per-chunk overhead + a
+            # MEASURED ~9 pass-equivalents per extra group (on-chip
+            # A/B at the headline random 8192^2/b32/d=0.25 config,
+            # benchmarks/results_phased_ab.json; acc churn +
+            # low-utilization residual chunks + the Pallas gather
+            # merge.  The original 2-pass charge under-billed 4x even
+            # with the cheap merge and regressed the headline 2.1x;
+            # the earlier segment_sum merge put the true cost at ~22).
+            # Phased only wins when it saves >~9 passes per extra
+            # group; at the bench configs (2.4 saved/extra at the
+            # headline layout) the partition is kept.
             def _dt_cost(s, base_groups):
                 extra = max(0, s.groups - base_groups) \
                     if s.rows_at is not None else 0
                 from blocksparse_tpu.kernels.bsmm import (
                     CONTRACT as _CT, STEP_OVERHEAD_LANES as _SO)
                 return (s.mxu_passes(block_size) * _CT
-                        + s.num_chunks * _SO + extra * 2 * _CT)
+                        + s.num_chunks * _SO
+                        + extra * PHASED_EXTRA_GROUP_PASSES * _CT)
 
             if dense_tile_G is None:
                 for th in ((2,), (3, 2), (3, 2, 2)):
@@ -261,10 +281,13 @@ class BlocksparseMatMul:
                 self.mode_u = "dense_tile"
         if mode == "window" and R_dt >= 1:
             # Pinned window-slab mode: x streamed once per (super-group,
-            # window) instead of per chunk — 3-6x lower x HBM traffic at
-            # the bench shape, measured neutral-to-slightly-slower on the
-            # (compute-throttled) bench chip, so auto never picks it; use
-            # when HBM bandwidth is the scarce resource.
+            # window) instead of per chunk — 3-6x lower x HBM traffic.
+            # Validated in its target regime (tools/tpu_window_check.py,
+            # benchmarks/results_window.json): at the bandwidth-leaning
+            # N=256 shape it wins 1.14x over dense_tile; at the
+            # compute-bound N=2048 bench shape it loses 0.70x, so auto
+            # keeps dense_tile and window stays an explicit mode for
+            # small-batch / bandwidth-constrained deployments.
             Gw = max(1, 2 * CONTRACT // block_size) \
                 if block_size <= 64 else 1
             WBf = max(Gw, min(2048 // block_size, CB))

@@ -773,10 +773,18 @@ def test_dense_tile_phased_cover():
     np.testing.assert_allclose(y, yg, rtol=1e-4, atol=1e-4)
 
 
-def test_dense_tile_phased_autopick_large_random():
-    """The mode cost model picks the phased cover on a bench-scale
-    random layout and the pick lowers billed MXU passes."""
-    from blocksparse_tpu.kernels.bsmm import build_dense_tile_schedule
+def test_dense_tile_phased_autopick_calibrated():
+    """The calibrated cost model (~9 measured pass-equivalents per
+    extra group with the Pallas gather merge,
+    benchmarks/results_phased_ab.json) KEEPS the fixed partition on a
+    bench-scale random layout: the phased cover saves only ~2-4 passes
+    per extra group there, below the measured per-group overhead.
+    Guards against re-undercharging the merge (the original 2-pass
+    charge regressed the r4 headline 2.1x).  The phased builder itself
+    still lowers billed passes — the structural property the cover
+    exists for."""
+    from blocksparse_tpu.kernels.bsmm import (
+        build_dense_tile_schedule, build_dense_tile_schedule_phased)
 
     rng = np.random.RandomState(3)
     n = 128
@@ -784,12 +792,14 @@ def test_dense_tile_phased_autopick_large_random():
     lay[np.arange(n), np.arange(n)] = 1
     bsm = BlocksparseMatMul(lay, block_size=32, feature_axis=0)
     f = bsm.fprop_dt
-    assert f is not None and f.rows_at is not None
+    assert f is not None and f.rows_at is None  # partition kept
     rows = [[(int(c), 0) for c in np.nonzero(lay[:, kb])[0]]
             for kb in range(n)]
     plain = build_dense_tile_schedule(rows, n, 32, int(lay.sum()),
                                       cluster=True)
-    assert f.mxu_passes(32) < plain.mxu_passes(32)
+    ph = build_dense_tile_schedule_phased(rows, n, 32, int(lay.sum()),
+                                          thresholds=(2,))
+    assert ph.mxu_passes(32) < plain.mxu_passes(32)
 
 
 def test_fp16_pallas_fwd_bwd():

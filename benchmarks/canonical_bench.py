@@ -65,6 +65,37 @@ def build_layout(mask, n, m, seed=0):
     return make_mask(n, f"ba_{m}", seed=seed)
 
 
+def dev_uniform(seed, shape, lo, hi, dtype):
+    """Random operand generated ON DEVICE (tunnel rejects big host
+    transfers; timing is data-independent)."""
+    return jax.jit(lambda k: jax.random.uniform(
+        k, shape, jnp.float32, lo, hi).astype(dtype))(
+            jax.random.PRNGKey(seed))
+
+
+def bench_dense_control(hidden, N, dtype, depth, on_tpu):
+    """Dense hidden^2 x N matmul through the same chained-slope
+    protocol — the honest roofline at small N, where the MXU lane dim
+    is underfilled and density-scaled PEAK overstates the target."""
+    s = 0.5 / np.sqrt(hidden)
+    W = dev_uniform(11, (hidden, hidden), -s, s, dtype)
+    x0 = dev_uniform(12, (hidden, N), -1.0, 1.0, dtype)
+
+    def fwd_step(x, w):
+        for _ in range(depth):
+            x = jax.lax.dot_general(
+                w, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
+        return x
+
+    chains = (1, 3) if on_tpu else (1, 2)
+    (t_d,), anchor = bench_slope(
+        [(fwd_step, x0, W)], chains=chains,
+        iters=8 if on_tpu else 1, reps=3, with_anchor=True,
+        retries=3 if on_tpu else 0)
+    return t_d / depth, anchor
+
+
 def bench_config(bsmm, N, dtype, depth, on_tpu):
     """Per-application fwd and fwd+bwd seconds through a depth-chain."""
     rng = np.random.RandomState(7)
@@ -137,6 +168,19 @@ def main():
     bsizes = [int(b) for b in args.bsizes.split(",")]
     for k, target in [CONFIGS[k - 1] for k in ks]:
         hidden = k * 2560
+        # dense control at the SAME N: the fair small-N roofline
+        try:
+            t_dense, d_anchor = bench_dense_control(
+                hidden, args.N, dtype, args.depth, on_tpu)
+        except Exception as e:
+            t_dense, d_anchor = None, {"anchor_ms": -1.0,
+                                       "timing_valid": False}
+            print(f"dense control {hidden} FAILED {str(e)[:120]}")
+        else:
+            dtf = 2 * hidden * hidden * args.N / t_dense / 1e12
+            print(f"{hidden:7d} dense control {t_dense*1e3:8.4f} ms/app "
+                  f"{dtf:8.2f} TF/s (anchor {d_anchor['anchor_ms']} ms "
+                  f"valid={d_anchor['timing_valid']})")
         for bsize in bsizes:
             n = hidden // bsize
             m, _ = pick_m(n, target, args.mask)
@@ -171,6 +215,13 @@ def main():
                    "mode": getattr(bsmm, "mode_f", "?"),
                    "anchor_ms": anchor["anchor_ms"],
                    "timing_valid": anchor["timing_valid"]}
+            if t_dense is not None:
+                row["dense_ms_per_app"] = round(t_dense * 1e3, 4)
+                row["speedup_vs_dense"] = round(t_dense / t_f, 3)
+                # density-scaled fraction of the measured same-N dense
+                row["frac_of_dense_control"] = round(
+                    dens * t_dense / t_f, 4)
+                row["dense_anchor_valid"] = d_anchor["timing_valid"]
             results["rows"].append(row)
             flush()
             print(f"{hidden:7d} {bsize:5d} {100*dens:6.2f} "

@@ -52,8 +52,18 @@ def main():
     dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
 
-    Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
-    xd = jnp.asarray(rng.uniform(-1, 1, (hidden, N)), dtype)
+    # generate all large operands ON DEVICE: host->device transfer of
+    # the 512 MB dense weight through the bench tunnel is what blocked
+    # the earlier hidden-16384 attempts (timing values are
+    # data-independent, so random on-device contents are equivalent)
+    def dev_uniform(seed, shape, lo, hi):
+        return jax.jit(
+            lambda k: jax.random.uniform(
+                k, shape, jnp.float32, lo, hi).astype(dtype),
+            static_argnums=())(jax.random.PRNGKey(seed))
+
+    Wd = dev_uniform(1, (hidden, hidden), -0.1, 0.1)
+    xd = dev_uniform(2, (hidden, N), -1.0, 1.0)
 
     def dense_step(x, w):
         return jax.lax.dot_general(
@@ -72,10 +82,9 @@ def main():
         for mode in args.modes.split(","):
             bsmm = BlocksparseMatMul(lay, block_size=bs, feature_axis=0,
                                      w_layout="fprop_packed", mode=mode)
-            Wc = rng.uniform(-0.1, 0.1,
-                             (bsmm.blocks, bs, bs)).astype(np.float32)
-            W = jnp.asarray(bsmm.pack_weights(Wc), dtype)
-            x0 = jnp.asarray(rng.uniform(-1, 1, bsmm.i_shape(N)), dtype)
+            # random contents directly in the packed layout (on device)
+            W = dev_uniform(100 + bs, bsmm.w_shape, -0.1, 0.1)
+            x0 = dev_uniform(200 + bs, bsmm.i_shape(N), -1.0, 1.0)
             jobs.append((lambda x, w, b=bsmm: b(x, w).astype(dtype),
                          x0, W))
             labels.append(f"banded_b{bs}_{mode}")

@@ -88,11 +88,16 @@ def bench_dense_control(hidden, N, dtype, depth, on_tpu):
                 preferred_element_type=jnp.float32).astype(dtype)
         return x
 
-    chains = (1, 3) if on_tpu else (1, 2)
+    # Wide chain gap + high iters: at N=64 a single application is
+    # ~30-500 us, so the (1,3)x8 protocol's ~1.4 ms slope signal sat
+    # inside the tunnel's ~1 ms quantum noise and anchors deflated
+    # below the floor (results_canonical_p2 first capture).  (1,4)x24
+    # gives ~6 ms of anchor signal; reps=4 lets min() converge.
+    chains = (1, 4) if on_tpu else (1, 2)
     (t_d,), anchor = bench_slope(
         [(fwd_step, x0, W)], chains=chains,
-        iters=8 if on_tpu else 1, reps=3, with_anchor=True,
-        retries=3 if on_tpu else 0)
+        iters=24 if on_tpu else 1, reps=4 if on_tpu else 3,
+        with_anchor=True, retries=3 if on_tpu else 0)
     return t_d / depth, anchor
 
 
@@ -120,11 +125,11 @@ def bench_config(bsmm, N, dtype, depth, on_tpu):
         (dx,) = vjp(y)
         return (x * 0.999 + 1e-6 * dx).astype(dtype)
 
-    chains = (1, 3) if on_tpu else (1, 2)
-    iters = 8 if on_tpu else 1
+    chains = (1, 4) if on_tpu else (1, 2)   # see bench_dense_control
+    iters = 24 if on_tpu else 1
     (t_f, t_fb), anchor = bench_slope(
         [(fwd_step, x0, W), (fb_step, x0, W)], chains=chains,
-        iters=iters, reps=3, with_anchor=True,
+        iters=iters, reps=4 if on_tpu else 3, with_anchor=True,
         retries=3 if on_tpu else 0)
     return t_f / depth, t_fb / depth, anchor
 

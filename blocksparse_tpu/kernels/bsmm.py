@@ -1264,6 +1264,97 @@ def _xprop_dense_tile_ladder_kernel(G, bsize, precision, grp_ref,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _xprop_dense_tile_resident_kernel(G, bsize, precision, with_ladder,
+                                      TN, *refs):
+    """Dense-tile kernel with the x column-tile RESIDENT in VMEM.
+
+    The per-slot BlockSpec kernels re-read every union slot's (bsize,
+    TN) x block from HBM — at the headline random 8192^2/b32/d=0.25
+    config that is ~1.4 GB of x traffic per matmul (42x amplification)
+    and the kernel is DMA-bound at ~1.35 TB/s, not MXU-bound (the
+    banded configs sit at the same crossover; see BENCH_NOTES round-4
+    resident-x finding).  Here the whole (C, TN) x column tile is
+    DMA'd ONCE per n-tile into a VMEM scratch and chunks gather their
+    slots with dynamic sublane slices — x HBM traffic drops to C*N
+    bytes total, making the kernel MXU-bound wherever the scratch
+    fits.  The schedule (and therefore the billed MXU passes) is
+    identical to the per-slot variant."""
+    if with_ladder:
+        grp_ref, last_ref, wcls_ref, slot_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        grp_ref, last_ref, slot_ref = refs[:3]
+        wcls_ref = None
+        rest = refs[3:]
+    x_ref, w_ref, out_ref, acc_ref, xbuf, sem = rest
+    n, s = pl.program_id(0), pl.program_id(1)
+
+    # one 8-ish MB HBM->VMEM copy per n-tile (a few us, amortized over
+    # the whole chunk stream of this n-tile)
+    @pl.when(s == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(n * TN, TN)], xbuf, sem)
+        cp.start()
+        cp.wait()
+
+    prev = grp_ref[jnp.maximum(s - 1, 0)]
+
+    @pl.when(jnp.logical_or(s == 0, grp_ref[s] != prev))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def xcat_of(nslots):
+        return jnp.concatenate(
+            [xbuf[pl.ds(slot_ref[s * G + i] * bsize, bsize), :]
+             for i in range(nslots)], axis=0)
+
+    spp = max(1, CONTRACT // bsize)
+    p_full = max(1, (G * bsize) // CONTRACT)
+    if with_ladder:
+        for k in range(1, p_full):
+            @pl.when(wcls_ref[s] == k)
+            def _(k=k):
+                w = k * spp
+                acc_ref[...] += jax.lax.dot_general(
+                    w_ref[:, :w * bsize], xcat_of(w),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+
+        @pl.when(wcls_ref[s] >= p_full)
+        def _():
+            acc_ref[...] += jax.lax.dot_general(
+                w_ref[...], xcat_of(G), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            w_ref[...], xcat_of(G), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(last_ref[s] == 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+# VMEM budget for the resident x scratch (the chip has ~16 MB VMEM; the
+# panels + accumulator + out tile double-buffers need the rest)
+RESIDENT_X_BUDGET = 9 * 1024 * 1024
+
+
+def resident_pick_tile(C, N, itemsize, min_tn=256, max_tn=2048,
+                       budget=RESIDENT_X_BUDGET):
+    """Largest 128-multiple divisor TN of N such that the (C, TN) x
+    scratch fits the resident budget; None if even min_tn does not fit
+    (fall back to the per-slot kernel)."""
+    for t in (2048, 1024, 512, 256, 128):
+        if t > max_tn or t < min_tn or N % t:
+            continue
+        if C * t * itemsize <= budget:
+            return t
+    return None
+
+
 def dense_tile_pick_tile(N, max_tn=2048):
     """Largest divisor of N that is a multiple of 128 (or N itself when
     smaller), capped at max_tn: long MXU streams amortize the per-chunk
@@ -1278,11 +1369,21 @@ def dense_tile_pick_tile(N, max_tn=2048):
 
 def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
                             bsize: int, tile_n: int | None = None,
-                            precision=None, out_dtype=None):
+                            precision=None, out_dtype=None,
+                            resident: bool = False):
     """x (C, N) feature-major; w_panels from ``dense_tile_panels`` (or
-    packed storage).  Returns (n_out_blocks*bsize, N)."""
+    packed storage).  Returns (n_out_blocks*bsize, N).
+
+    resident=True runs the VMEM-resident-x kernel (one x column-tile
+    copy per n-tile, slots gathered by dynamic slice) — same schedule,
+    ~union/C-fold lower x HBM traffic; see
+    :func:`_xprop_dense_tile_resident_kernel`."""
     C, N = x.shape
-    TN = tile_n or dense_tile_pick_tile(N)
+    if resident:
+        TN = tile_n or resident_pick_tile(C, N, x.dtype.itemsize)
+        assert TN is not None, "resident x scratch does not fit VMEM"
+    else:
+        TN = tile_n or dense_tile_pick_tile(N)
     assert N % TN == 0
     prec = dot_precision(x.dtype, precision)
     R, G = sched.R, sched.G
@@ -1304,36 +1405,49 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
         w_index = lambda n, s, gr, la, sl: (s, 0)               # noqa: E731
         o_index = lambda n, s, gr, la, sl: (gr[s], n)           # noqa: E731
 
-    in_specs = [
-        pl.BlockSpec((bsize, TN), x_index(i), memory_space=pltpu.VMEM)
-        for i in range(G)
-    ]
+    if resident:
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        x_bytes = C * N
+    else:
+        in_specs = [
+            pl.BlockSpec((bsize, TN), x_index(i), memory_space=pltpu.VMEM)
+            for i in range(G)
+        ]
+        x_bytes = S * G * bsize * N
     in_specs.append(pl.BlockSpec(
         (M, G * bsize), w_index, memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((M, TN), o_index, memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * S * M * G * bsize * N,
-        bytes_accessed=(S * G * bsize * N + w_panels.size * (N // TN))
+        bytes_accessed=(x_bytes + w_panels.size * (N // TN))
         * x.dtype.itemsize + groups * M * N * 4,
         transcendentals=0,
     )
+    scratch = [pltpu.VMEM((M, TN), jnp.float32)]
+    if resident:
+        scratch += [pltpu.VMEM((C, TN), x.dtype), pltpu.SemaphoreType.DMA]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 if with_ladder else 3,
         grid=(N // TN, S),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((M, TN), jnp.float32)],
+        scratch_shapes=scratch,
     )
     if with_ladder:
-        kernel = functools.partial(_xprop_dense_tile_ladder_kernel,
-                                   G, bsize, prec)
         prefetch = (jnp.asarray(sched.grp), jnp.asarray(sched.last),
                     jnp.asarray(sched.wcls),
                     jnp.asarray(sched.slot.reshape(-1)))
     else:
-        kernel = functools.partial(_xprop_dense_tile_kernel, G, bsize, prec)
         prefetch = (jnp.asarray(sched.grp), jnp.asarray(sched.last),
                     jnp.asarray(sched.slot.reshape(-1)))
+    if resident:
+        kernel = functools.partial(_xprop_dense_tile_resident_kernel,
+                                   G, bsize, prec, with_ladder, TN)
+    elif with_ladder:
+        kernel = functools.partial(_xprop_dense_tile_ladder_kernel,
+                                   G, bsize, prec)
+    else:
+        kernel = functools.partial(_xprop_dense_tile_kernel, G, bsize, prec)
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1341,7 +1455,8 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
         cost_estimate=cost,
         interpret=use_interpret(),
     )
-    out = fn(*prefetch, *([x] * G), w_panels.reshape(S * M, G * bsize))
+    x_args = [x] if resident else [x] * G
+    out = fn(*prefetch, *x_args, w_panels.reshape(S * M, G * bsize))
     if sched.rows_at is not None:
         # phased cover: a canonical row owns tiles in several groups —
         # gather-sum them (a scatter-add segment_sum serializes on TPU)

@@ -102,13 +102,19 @@ class BlocksparseMatMul:
         count; "grouped" / "dense_tile" pin it.  "window" pins the
         window-slab kernel: x streamed once per (super-group, column
         window) — 3-6x lower input HBM traffic for bandwidth-constrained
-        deployments.  Dense-tile schedules cluster output rows by
+        deployments.  "resident" pins the dense-tile schedule with the
+        VMEM-resident-x kernel (one x column-tile copy per n-tile, slots
+        gathered by dynamic slice): same MXU passes, x HBM traffic down
+        from union-amplified to 1x — the fix for layouts whose per-slot
+        kernel is DMA-bound (random and banded b32/b64 at hidden 8192
+        are; BENCH_NOTES round-4 resident-x finding).  Dense-tile schedules cluster output rows by
         column-support union (fewer MXU passes; output gathered back to
         canonical order)."""
         if block_size not in (8, 16, 32, 64, 128):
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")
-        assert mode in ("auto", "grouped", "dense_tile", "window")
+        assert mode in ("auto", "grouped", "dense_tile", "window",
+                        "resident")
         self.axis = feature_axis
         self.bsize = block_size
         self.z_order = z_order
@@ -267,15 +273,16 @@ class BlocksparseMatMul:
                 # costs ceil(G*b/128) passes (output rows <=128 round to 1)
                 return s.groups * s.CH * max(1, s.G * block_size // CONTRACT)
 
-            force = mode in ("dense_tile", "window")
+            force = mode in ("dense_tile", "window", "resident")
+            dt_name = "resident" if mode == "resident" else "dense_tile"
             if force or fprop_dt.mxu_passes(block_size) \
                     < _chunks(self.fprop_grouped):
                 self.fprop_dt = fprop_dt
-                self.mode_f = "dense_tile"
+                self.mode_f = dt_name
             if force or bprop_dt.mxu_passes(block_size) \
                     < _chunks(self.bprop_grouped):
                 self.bprop_dt = bprop_dt
-                self.mode_b = "dense_tile"
+                self.mode_b = dt_name
             if force or updat_dt.num_chunks < _chunks(self.updat_grouped):
                 self.updat_dt = updat_dt
                 self.mode_u = "dense_tile"
@@ -300,8 +307,8 @@ class BlocksparseMatMul:
                 SG=min(8, max(1, CB // max(1, R_dt))))
             self.mode_f = self.mode_b = "window"
         # window schedules duck-type the dense-tile panel layout
-        self._panels_f = self.mode_f in ("dense_tile", "window")
-        self._panels_b = self.mode_b in ("dense_tile", "window")
+        self._panels_f = self.mode_f in ("dense_tile", "window", "resident")
+        self._panels_b = self.mode_b in ("dense_tile", "window", "resident")
 
         # flat sorted entry arrays for the XLA fallback impl
         def _flat(rows):
@@ -711,9 +718,16 @@ class BlocksparseMatMul:
                         out_dtype=x.dtype)
                 else:
                     w = self._canonical_w(w)
-            elif self.mode_f == "dense_tile":
-                TN = self._dt_tile(self.C, self.fprop_dt, xp.shape[1],
-                                   xp.dtype.itemsize)
+            elif self.mode_f in ("dense_tile", "resident"):
+                res = self.mode_f == "resident"
+                if res:
+                    TN = bsmm_kernels.resident_pick_tile(
+                        xp.shape[0], xp.shape[1], xp.dtype.itemsize)
+                    if TN is None:   # scratch too big: per-slot kernel
+                        res = False
+                if not res:
+                    TN = self._dt_tile(self.C, self.fprop_dt, xp.shape[1],
+                                       xp.dtype.itemsize)
                 if TN is not None:
                     if self.w_layout == "fprop_packed":
                         panels = w
@@ -721,7 +735,7 @@ class BlocksparseMatMul:
                         panels = dense_tile_panels(w, self.fprop_dt, False)
                     y = bsmm_kernels.xprop_pallas_dense_tile(
                         xp, panels, self.fprop_dt, self.bsize, tile_n=TN,
-                        out_dtype=x.dtype)
+                        out_dtype=x.dtype, resident=res)
                 else:
                     # panel exceeds VMEM: fall back to the grouped path
                     w = self._canonical_w(w)
@@ -766,13 +780,20 @@ class BlocksparseMatMul:
                 and self._panels_f
             grouped_packed = self.w_layout == "fprop_packed" \
                 and not dt_packed
-            if self.mode_b in ("dense_tile", "window"):
+            if self.mode_b in ("dense_tile", "window", "resident"):
+                res = self.mode_b == "resident"
                 if self.mode_b == "window":
                     TN = self._win_tile(self.bprop_dt, dyp.shape[1],
                                         dyp.dtype.itemsize)
                 else:
-                    TN = self._dt_tile(self.K, self.bprop_dt, dyp.shape[1],
-                                       dyp.dtype.itemsize)
+                    if res:
+                        TN = bsmm_kernels.resident_pick_tile(
+                            dyp.shape[0], dyp.shape[1], dyp.dtype.itemsize)
+                        if TN is None:
+                            res = False
+                    if not res:
+                        TN = self._dt_tile(self.K, self.bprop_dt,
+                                           dyp.shape[1], dyp.dtype.itemsize)
                 if TN is not None:
                     if dt_packed:
                         # store cells are W^T: re-gather, transposing back
@@ -788,12 +809,14 @@ class BlocksparseMatMul:
                             wpos=self._bprop_dt_wpos_packed)
                     else:
                         panels = dense_tile_panels(w, self.bprop_dt, True)
-                    xprop = bsmm_kernels.xprop_pallas_window \
-                        if self.mode_b == "window" \
-                        else bsmm_kernels.xprop_pallas_dense_tile
-                    dx = xprop(
-                        dyp, panels, self.bprop_dt, self.bsize, tile_n=TN,
-                        out_dtype=dy.dtype)
+                    if self.mode_b == "window":
+                        dx = bsmm_kernels.xprop_pallas_window(
+                            dyp, panels, self.bprop_dt, self.bsize,
+                            tile_n=TN, out_dtype=dy.dtype)
+                    else:
+                        dx = bsmm_kernels.xprop_pallas_dense_tile(
+                            dyp, panels, self.bprop_dt, self.bsize,
+                            tile_n=TN, out_dtype=dy.dtype, resident=res)
             if dx is None:
                 if dt_packed:
                     w = self.unpack_weights(w)

@@ -233,6 +233,18 @@ def make_layout(kind, nb, density, rng):
     raise ValueError(kind)
 
 
+def aligned_band_layout(nb, width, R):
+    """Staircase band: rows R*i..R*i+R-1 share one width-block band —
+    the R-aligned structured layout class (block-local attention /
+    structured sparsity); schedule fill 1.0 at group size R."""
+    lay = np.zeros((nb, nb), np.int32)
+    for g in range(-(-nb // R)):
+        r0, r1 = g * R, min((g + 1) * R, nb)
+        lo = max(0, min(nb - width, g * R - width // 2))
+        lay[r0:r1, lo:lo + width] = 1
+    return lay
+
+
 def bsmm_bench():
     from blocksparse_tpu import BlocksparseMatMul
 
@@ -260,6 +272,18 @@ def bsmm_bench():
     # structured headline at b64: coarser blocks cut the rectangle
     # padding (R=2 groups -> ~0.98 structural ceiling vs 0.93 at b32)
     bs_b64, W_b64 = build("banded", 64)
+    # >=0.90 structured row: R-aligned band + tall output tiles (R=4,
+    # M=256) halve x slot re-reads at constant MXU passes — 0.925
+    # anchor-valid at this config (results_bigr.json, BASELINE north
+    # star's structured demonstration)
+    from blocksparse_tpu import BlocksparseMatMul as _BSMM
+    lay_al = aligned_band_layout(hidden // 64, hidden // 64 // 4, 4)
+    bs_al = _BSMM(lay_al, block_size=64, feature_axis=0,
+                  impl="pallas" if on_tpu else "xla",
+                  w_layout="fprop_packed", dense_tile_R=4)
+    W_al = jnp.asarray(bs_al.pack_weights(
+        rng.uniform(-0.1, 0.1, (bs_al.blocks, 64, 64))
+        .astype(np.float32)), dtype)
     x0 = jnp.asarray(rng.uniform(-1, 1, bs_rand.i_shape(N)), dtype)
     Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (hidden, hidden)), dtype)
 
@@ -270,10 +294,11 @@ def bsmm_bench():
 
     # weights ride as params (jit arguments): inlined closures ship in
     # the remote-compile request body (HTTP 413 over ~0.5 GB)
-    (dt_rand, dt_band, dt_b64, dt_dense), anchor = bench_slope([
+    (dt_rand, dt_band, dt_b64, dt_al, dt_dense), anchor = bench_slope([
         (lambda x, w: bs_rand(x, w).astype(dtype), x0, W_rand),
         (lambda x, w: bs_band(x, w).astype(dtype), x0, W_band),
         (lambda x, w: bs_b64(x, w).astype(dtype), x0, W_b64),
+        (lambda x, w: bs_al(x, w).astype(dtype), x0, W_al),
         (dense_step, x0, Wd),
     ], with_anchor=True, retries=3 if on_tpu else 0)
 
@@ -316,6 +341,7 @@ def bsmm_bench():
     eff_rand, frac_rand = fractions(bs_rand, dt_rand)
     eff_band, frac_band = fractions(bs_band, dt_band)
     eff_b64, frac_b64 = fractions64(bs_b64, dt_b64)
+    eff_al, frac_al = fractions64(bs_al, dt_al)
     # bandwidth-aware achievable fraction (round-2 metric, kept for
     # continuity): ideal = max(compute, bytes / measured BW)
     dense_bytes = (hidden * hidden + 2 * hidden * N) * isz + hidden * N * 4
@@ -342,6 +368,10 @@ def bsmm_bench():
             "banded_b64_ms": round(dt_b64 * 1e3, 4),
             "banded_b64_flops_roofline_fraction": round(float(frac_b64), 4),
             "banded_b64_eff_tflops": round(float(eff_b64), 2),
+            "aligned_b64_r4_ms": round(dt_al * 1e3, 4),
+            "aligned_b64_r4_flops_roofline_fraction": round(float(frac_al),
+                                                            4),
+            "aligned_b64_r4_eff_tflops": round(float(eff_al), 2),
             "fwd_bwd_sparse_ms": round(dt_rand_fb * 1e3, 4),
             "fwd_bwd_dense_ms": round(dt_dense_fb * 1e3, 4),
             "fwd_bwd_sparse_vs_dense": round(dt_dense_fb / dt_rand_fb, 3),

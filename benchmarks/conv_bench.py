@@ -39,6 +39,15 @@ from blocksparse_tpu.ops.conv import BlocksparseConv
 from bench import bench_slope, result_path
 
 
+def dev_uniform(seed, shape, lo, hi, dtype):
+    """Random operand generated ON DEVICE — the bench tunnel rejects
+    big host transfers (canonical_bench hit this first) and timing is
+    data-independent."""
+    return jax.jit(lambda k: jax.random.uniform(
+        k, shape, jnp.float32, lo, hi).astype(dtype))(
+            jax.random.PRNGKey(seed))
+
+
 def make_bck(nb_c, nb_k, bC, bK, density, rng):
     """Random block-sparse channel connectivity, diagonal guaranteed."""
     BCK = []
@@ -81,8 +90,8 @@ def main():
     for CK in [int(c) for c in args.channels.split(",")]:
         nb = CK // b
         # dense conv control at the same channel count
-        Wd = jnp.asarray(rng.uniform(-0.1, 0.1, (CK, CK, 3, 3)), dtype)
-        xd = jnp.asarray(rng.uniform(-1, 1, (N, CK, HW, HW)), dtype)
+        Wd = dev_uniform(CK, (CK, CK, 3, 3), -0.1, 0.1, dtype)
+        xd = dev_uniform(CK + 1, (N, CK, HW, HW), -1.0, 1.0, dtype)
         dn = jax.lax.conv_dimension_numbers(
             (N, CK, HW, HW), (CK, CK, 3, 3), ("NCHW", "OIHW", "NCHW"))
 
@@ -114,10 +123,10 @@ def main():
                 try:
                     bsc = BlocksparseConv(BCK, (3, 3), (HW, HW),
                                           padding="SAME", impl=impl)
-                    F = jnp.asarray(rng.uniform(
-                        -0.1, 0.1, (bsc.blocks, b, b, 3, 3)), dtype)
-                    x0 = jnp.asarray(
-                        rng.uniform(-1, 1, bsc.i_shape(N)), dtype)
+                    F = dev_uniform(2 * CK, (bsc.blocks, b, b, 3, 3),
+                                    -0.1, 0.1, dtype)
+                    x0 = dev_uniform(2 * CK + 1, bsc.i_shape(N),
+                                     -1.0, 1.0, dtype)
 
                     def fwd(x, F, bsc=bsc):
                         return (bsc(F, x).astype(dtype) * (1.0 / CK))

@@ -798,11 +798,14 @@ class DenseTileSchedule:
         return self.grp.shape[0]
 
     def mxu_passes(self, bsize: int):
-        """128-deep MXU pass-equivalents (chunks x ceil(depth/128))."""
+        """128-deep MXU pass-equivalents (chunks x ceil(depth/128) x
+        ceil(out_rows/128) — tall output tiles at R*bsize > 128 bill
+        one pass per 128-row band)."""
         full = -(-(self.G * bsize) // CONTRACT)
+        rows = max(1, (self.R * bsize) // CONTRACT)
         if self.wcls is None:
-            return self.num_chunks * full
-        return int(np.minimum(self.wcls, full).sum())
+            return self.num_chunks * full * rows
+        return int(np.minimum(self.wcls, full).sum()) * rows
 
 
 def cluster_rows(entries_per_row, R: int) -> np.ndarray:
@@ -1137,7 +1140,10 @@ def build_dense_tile_schedule_phased(entries_per_row, n_out_blocks: int,
                     residual[row] = [e for e in residual[row]
                                      if e[0] not in keep]
                 ents_g.append((slot_r, take))
-                rat.append(row)
+                # all-zero tiles (no cells taken in this phase) stay out
+                # of the merge fan-in: a -1 sentinel keeps the slot lane
+                # assignment but drops the tile from phased_merge_idx
+                rat.append(row if take else -1)
             group_rows.append(ents_g)
             group_cols.append(sorted(keep))
             rows_at.append(rat + [-1] * (R - len(rat)))
@@ -1265,20 +1271,31 @@ def _xprop_dense_tile_ladder_kernel(G, bsize, precision, grp_ref,
 
 
 def _xprop_dense_tile_resident_kernel(G, bsize, precision, with_ladder,
-                                      TN, *refs):
+                                      TN, TN_IS_N, *refs):
     """Dense-tile kernel with the x column-tile RESIDENT in VMEM.
 
     The per-slot BlockSpec kernels re-read every union slot's (bsize,
     TN) x block from HBM — at the headline random 8192^2/b32/d=0.25
-    config that is ~1.4 GB of x traffic per matmul (42x amplification)
-    and the kernel is DMA-bound at ~1.35 TB/s, not MXU-bound (the
-    banded configs sit at the same crossover; see BENCH_NOTES round-4
-    resident-x finding).  Here the whole (C, TN) x column tile is
-    DMA'd ONCE per n-tile into a VMEM scratch and chunks gather their
-    slots with dynamic sublane slices — x HBM traffic drops to C*N
-    bytes total, making the kernel MXU-bound wherever the scratch
-    fits.  The schedule (and therefore the billed MXU passes) is
-    identical to the per-slot variant."""
+    config that is ~1.4 GB of x traffic per matmul (42x amplification).
+    Here the whole (C, TN) x column tile is DMA'd ONCE per n-tile into
+    a VMEM scratch and chunks gather their slots with dynamic sublane
+    slices — x HBM traffic drops to C*N bytes total.
+
+    MEASURED OUTCOME (round 5, benchmarks/results_resident_ab.json +
+    BENCH_NOTES resident close-out): this kernel LOSES to the per-slot
+    variant at every bench config (random b32 1.38 vs 1.02 ms) and the
+    per-slot kernel sits AT its x-traffic bound already, because (a)
+    Mosaic's revisit-skip plus double-buffering hide the HBM re-reads
+    under the MXU at full HBM bandwidth, and (b) every explicit gather
+    engine measured no faster: a pipelined VMEM->VMEM async-copy
+    variant moved its 2.78 GB at ~1.4 TB/s == HBM bandwidth and lost
+    revisit-skip (1.95 ms); this inline-slice gather is unoverlapped
+    vector work (1.38 ms).  Residency cannot beat re-reads on this
+    chip — fewer slot VISITS (schedule fill) is the only lever.  The
+    mode is kept as an explicit option (it wins nothing today but is
+    the right base for future chips where local copy bandwidth beats
+    HBM); auto never selects it.  The schedule (and the billed MXU
+    passes) is identical to the per-slot variant."""
     if with_ladder:
         grp_ref, last_ref, wcls_ref, slot_ref = refs[:4]
         rest = refs[4:]
@@ -1290,11 +1307,13 @@ def _xprop_dense_tile_resident_kernel(G, bsize, precision, with_ladder,
     n, s = pl.program_id(0), pl.program_id(1)
 
     # one 8-ish MB HBM->VMEM copy per n-tile (a few us, amortized over
-    # the whole chunk stream of this n-tile)
+    # the whole chunk stream of this n-tile).  When TN == N (the
+    # small-N regime) copy the whole ref: Mosaic requires lane slices
+    # be 128-aligned and TN < 128 there.
     @pl.when(s == 0)
     def _():
-        cp = pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(n * TN, TN)], xbuf, sem)
+        src = x_ref if TN_IS_N else x_ref.at[:, pl.ds(n * TN, TN)]
+        cp = pltpu.make_async_copy(src, xbuf, sem)
         cp.start()
         cp.wait()
 
@@ -1338,19 +1357,52 @@ def _xprop_dense_tile_resident_kernel(G, bsize, precision, with_ladder,
 
 
 # VMEM budget for the resident x scratch (the chip has ~16 MB VMEM; the
-# panels + accumulator + out tile double-buffers need the rest)
+# panels + accumulator + out tile double-buffers need the rest).  Used
+# when the caller can't supply the schedule for a full working-set
+# estimate (resident_vmem_estimate).
 RESIDENT_X_BUDGET = 9 * 1024 * 1024
+VMEM_LIMIT = 14 * 1024 * 1024
+
+
+def resident_vmem_estimate(C, TN, itemsize, sched, bsize, out_itemsize=4):
+    """Full resident-kernel working set: the (C, TN) x scratch plus the
+    same panel / accumulator / out / xcat terms as the per-slot kernel
+    (minus its per-slot x double-buffers)."""
+    M = sched.R * bsize
+    Gb = sched.G * bsize
+    return (C * TN * itemsize                 # resident x scratch
+            + 2 * M * Gb * itemsize           # double-buffered panel
+            + M * TN * 4                      # f32 accumulator
+            + 2 * M * TN * out_itemsize       # out tile
+            + Gb * TN * itemsize)             # xcat temporary
 
 
 def resident_pick_tile(C, N, itemsize, min_tn=256, max_tn=2048,
-                       budget=RESIDENT_X_BUDGET):
-    """Largest 128-multiple divisor TN of N such that the (C, TN) x
-    scratch fits the resident budget; None if even min_tn does not fit
-    (fall back to the per-slot kernel)."""
-    for t in (2048, 1024, 512, 256, 128):
-        if t > max_tn or t < min_tn or N % t:
+                       budget=None, sched=None, bsize=None,
+                       out_itemsize=4):
+    """Largest 128-multiple divisor TN of N such that the resident
+    working set fits VMEM; None if even min_tn does not fit (fall back
+    to the per-slot kernel).  With ``sched``/``bsize`` the FULL working
+    set (resident_vmem_estimate) is checked against VMEM_LIMIT — the
+    x-scratch-only RESIDENT_X_BUDGET check alone can pick a TN whose
+    accumulator + panels + out tiles overflow VMEM (e.g. f32 at small
+    C picking TN=2048).
+
+    Small N (< 128, the reference's canonical N=64 regime) uses TN=N:
+    x is tiny there (C*N*2 ~ 1 MB at hidden 7680) and residency is
+    where the mode actually WINS — the per-slot kernel issues
+    chunks x G sub-KB slot DMAs whose issue overhead dominates at
+    N=64, while the resident gather is cheap VPU work (see BENCH_NOTES
+    resident close-out)."""
+    cands = (2048, 1024, 512, 256, 128) if N >= 128 else (N,)
+    for t in cands:
+        if N >= 128 and (t > max_tn or t < min_tn or N % t):
             continue
-        if C * t * itemsize <= budget:
+        if sched is not None:
+            if resident_vmem_estimate(C, t, itemsize, sched, bsize,
+                                      out_itemsize) <= VMEM_LIMIT:
+                return t
+        elif C * t * itemsize <= (budget or RESIDENT_X_BUDGET):
             return t
     return None
 
@@ -1391,6 +1443,11 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     groups = sched.groups
     M = R * bsize
     out_dtype = out_dtype or x.dtype
+    # phased covers re-sum per-group partial tiles in f32 inside the
+    # merge kernel: keep the pre-merge partials unrounded (a bf16
+    # round per phase would add error the partition path doesn't have)
+    pallas_out_dtype = jnp.float32 if sched.rows_at is not None \
+        else out_dtype
 
     with_ladder = sched.wcls is not None
 
@@ -1442,7 +1499,8 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
                     jnp.asarray(sched.slot.reshape(-1)))
     if resident:
         kernel = functools.partial(_xprop_dense_tile_resident_kernel,
-                                   G, bsize, prec, with_ladder, TN)
+                                   G, bsize, prec, with_ladder, TN,
+                                   TN == N)
     elif with_ladder:
         kernel = functools.partial(_xprop_dense_tile_ladder_kernel,
                                    G, bsize, prec)
@@ -1451,7 +1509,7 @@ def xprop_pallas_dense_tile(x, w_panels, sched: DenseTileSchedule,
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((groups * M, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((groups * M, N), pallas_out_dtype),
         cost_estimate=cost,
         interpret=use_interpret(),
     )

@@ -79,7 +79,8 @@ class BlocksparseMatMul:
         return {"layout": self.layout, "block_size": self.bsize,
                 "feature_axis": self.axis, "z_order": self.z_order,
                 "name": self.name, "impl": self.impl,
-                "w_layout": self.w_layout, "mode": self.mode}
+                "w_layout": self.w_layout, "mode": self.mode,
+                "dense_tile_R": self.dense_tile_R}
 
     def __setstate__(self, state):
         if isinstance(state, tuple):  # legacy tuple form
@@ -89,7 +90,7 @@ class BlocksparseMatMul:
 
     def __init__(self, layout, block_size=32, feature_axis=0, z_order=True,
                  name=None, impl=None, tile_n=None, w_layout="blocks",
-                 mode="auto", dense_tile_G=None):
+                 mode="auto", dense_tile_G=None, dense_tile_R=None):
         """w_layout="fprop_packed" stores weights in fprop schedule order
         (zero padding blocks included): the fprop weight panels become a
         free reshape instead of a gather — about 3 fewer W-sized HBM
@@ -105,11 +106,24 @@ class BlocksparseMatMul:
         deployments.  "resident" pins the dense-tile schedule with the
         VMEM-resident-x kernel (one x column-tile copy per n-tile, slots
         gathered by dynamic slice): same MXU passes, x HBM traffic down
-        from union-amplified to 1x — the fix for layouts whose per-slot
-        kernel is DMA-bound (random and banded b32/b64 at hidden 8192
-        are; BENCH_NOTES round-4 resident-x finding).  Dense-tile schedules cluster output rows by
+        from union-amplified to 1x.  Measured: residency WINS only in
+        the small-N regime (auto switches to it at N <= 512 when the
+        whole x fits one tile); at bench N the per-slot kernel already
+        sits at its x-traffic bound (BENCH_NOTES round-5 resident
+        close-out).  Dense-tile schedules cluster output rows by
         column-support union (fewer MXU passes; output gathered back to
-        canonical order)."""
+        canonical order).
+
+        dense_tile_R: rows per dense-tile schedule group (default
+        128/block_size, one 128-row MXU output tile).  R-aligned
+        STRUCTURED layouts (rows of a group sharing their column
+        support) should raise it — x slot re-reads scale 1/R at
+        constant MXU passes since the (R*bsize, TN) output tile stays
+        resident; R=4 at b64 took the aligned-band 8192^2/d0.25 row
+        from 0.80 to 0.93 of the FLOPs roofline (anchor-valid,
+        benchmarks/results_bigr.json).  Leave default for random
+        layouts: bigger unions lower fill faster than the re-read
+        saving."""
         if block_size not in (8, 16, 32, 64, 128):
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")
@@ -122,6 +136,7 @@ class BlocksparseMatMul:
         self.tile_n = tile_n
         self.w_layout = w_layout
         self.mode = mode
+        self.dense_tile_R = dense_tile_R
 
         assert len(layout.shape) == 2
         CB, KB = layout.shape
@@ -218,16 +233,19 @@ class BlocksparseMatMul:
         # dense-tile chunks <= per-row chunks whenever rows in a group
         # share input columns (always true at density >~ 1/R).
         R_dt = CONTRACT // block_size
+        R_use = dense_tile_R or R_dt
         self.fprop_dt = self.bprop_dt = self.updat_dt = None
         self.mode_f = self.mode_b = self.mode_u = "grouped"
-        if R_dt > 1 and mode not in ("grouped",):
+        if R_use > 1 and mode not in ("grouped",):
             # row clustering raises fill (union-minimizing groups); the
             # kernel wrapper gathers rows back to canonical order
             fprop_dt = build_dense_tile_schedule(fprop_rows, KB, block_size,
-                                                 blocks, G=dense_tile_G,
+                                                 blocks, R=R_use,
+                                                 G=dense_tile_G,
                                                  cluster=True)
             bprop_dt = build_dense_tile_schedule(bprop_rows, CB, block_size,
-                                                 blocks, G=dense_tile_G,
+                                                 blocks, R=R_use,
+                                                 G=dense_tile_G,
                                                  cluster=True)
             updat_dt = build_updat_dense_tile_schedule(updat_list, CB,
                                                        block_size)
@@ -255,17 +273,17 @@ class BlocksparseMatMul:
                         + s.num_chunks * _SO
                         + extra * PHASED_EXTRA_GROUP_PASSES * _CT)
 
-            if dense_tile_G is None:
+            if dense_tile_G is None and dense_tile_R is None:
                 for th in ((2,), (3, 2), (3, 2, 2)):
                     f_ph = build_dense_tile_schedule_phased(
                         fprop_rows, KB, block_size, blocks, thresholds=th)
-                    if _dt_cost(f_ph, -(-KB // R_dt)) \
-                            < _dt_cost(fprop_dt, -(-KB // R_dt)):
+                    if _dt_cost(f_ph, -(-KB // R_use)) \
+                            < _dt_cost(fprop_dt, -(-KB // R_use)):
                         fprop_dt = f_ph
                     b_ph = build_dense_tile_schedule_phased(
                         bprop_rows, CB, block_size, blocks, thresholds=th)
-                    if _dt_cost(b_ph, -(-CB // R_dt)) \
-                            < _dt_cost(bprop_dt, -(-CB // R_dt)):
+                    if _dt_cost(b_ph, -(-CB // R_use)) \
+                            < _dt_cost(bprop_dt, -(-CB // R_use)):
                         bprop_dt = b_ph
 
             def _chunks(s):
@@ -273,14 +291,25 @@ class BlocksparseMatMul:
                 # costs ceil(G*b/128) passes (output rows <=128 round to 1)
                 return s.groups * s.CH * max(1, s.G * block_size // CONTRACT)
 
+            def _grouped_cost(s):
+                # same lane units as _dt_cost (passes*CT + chunks*SO) so
+                # a phased dense-tile schedule carries its calibrated
+                # extra-group charge into the dense_tile-vs-grouped
+                # comparison too (a phased pick that displaced grouped on
+                # raw passes could be costlier under the project's own
+                # model)
+                from blocksparse_tpu.kernels.bsmm import (
+                    CONTRACT as _CT, STEP_OVERHEAD_LANES as _SO)
+                return _chunks(s) * _CT + s.groups * s.CH * _SO
+
             force = mode in ("dense_tile", "window", "resident")
             dt_name = "resident" if mode == "resident" else "dense_tile"
-            if force or fprop_dt.mxu_passes(block_size) \
-                    < _chunks(self.fprop_grouped):
+            if force or _dt_cost(fprop_dt, -(-KB // R_use)) \
+                    < _grouped_cost(self.fprop_grouped):
                 self.fprop_dt = fprop_dt
                 self.mode_f = dt_name
-            if force or bprop_dt.mxu_passes(block_size) \
-                    < _chunks(self.bprop_grouped):
+            if force or _dt_cost(bprop_dt, -(-CB // R_use)) \
+                    < _grouped_cost(self.bprop_grouped):
                 self.bprop_dt = bprop_dt
                 self.mode_b = dt_name
             if force or updat_dt.num_chunks < _chunks(self.updat_grouped):
@@ -719,11 +748,22 @@ class BlocksparseMatMul:
                 else:
                     w = self._canonical_w(w)
             elif self.mode_f in ("dense_tile", "resident"):
-                res = self.mode_f == "resident"
+                res = self.mode_f == "resident" or (
+                    xp.shape[1] <= 512 and self.bsize <= 64)
                 if res:
                     TN = bsmm_kernels.resident_pick_tile(
-                        xp.shape[0], xp.shape[1], xp.dtype.itemsize)
-                    if TN is None:   # scratch too big: per-slot kernel
+                        xp.shape[0], xp.shape[1], xp.dtype.itemsize,
+                        sched=self.fprop_dt, bsize=self.bsize,
+                        out_itemsize=x.dtype.itemsize)
+                    if TN is None:   # working set too big: per-slot
+                        res = False
+                    elif self.mode_f != "resident" and TN != xp.shape[1]:
+                        # small-N auto-switch only when the WHOLE x is
+                        # resident in one tile: measured wins at N<=512
+                        # (per-slot pays chunks x G sub-KB slot-DMA
+                        # issue overhead there), losses once x spans
+                        # n-tiles (results_smalln.json, BENCH_NOTES
+                        # resident close-out)
                         res = False
                 if not res:
                     TN = self._dt_tile(self.C, self.fprop_dt, xp.shape[1],
@@ -781,15 +821,24 @@ class BlocksparseMatMul:
             grouped_packed = self.w_layout == "fprop_packed" \
                 and not dt_packed
             if self.mode_b in ("dense_tile", "window", "resident"):
-                res = self.mode_b == "resident"
+                res = self.mode_b == "resident" or (
+                    self.mode_b == "dense_tile" and dyp.shape[1] <= 512
+                    and self.bsize <= 64)
                 if self.mode_b == "window":
+                    res = False
                     TN = self._win_tile(self.bprop_dt, dyp.shape[1],
                                         dyp.dtype.itemsize)
                 else:
                     if res:
                         TN = bsmm_kernels.resident_pick_tile(
-                            dyp.shape[0], dyp.shape[1], dyp.dtype.itemsize)
+                            dyp.shape[0], dyp.shape[1], dyp.dtype.itemsize,
+                            sched=self.bprop_dt, bsize=self.bsize,
+                            out_itemsize=dy.dtype.itemsize)
                         if TN is None:
+                            res = False
+                        elif self.mode_b != "resident" \
+                                and TN != dyp.shape[1]:
+                            # small-N auto-switch (see _fprop)
                             res = False
                     if not res:
                         TN = self._dt_tile(self.K, self.bprop_dt,

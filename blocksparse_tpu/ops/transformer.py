@@ -551,12 +551,24 @@ def _hs_ok(bst, state_size):
 
 def _nt_impl(bst, a, b):
     if _bst_impl(bst) == "pallas" and _hs_ok(bst, a.shape[-1]):
+        if a.dtype == jnp.float16:
+            # IEEE fp16 (reference ehalf) has no MXU format and Mosaic
+            # rejects f16 dots: run the pallas path in bfloat16, emit
+            # f16 — same shim as the fused branch (_bst_attention)
+            return _nt_impl_pallas(
+                bst, a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16)).astype(jnp.float16)
         return _nt_impl_pallas(bst, a, b)
     return _nt_impl_xla(bst, a, b)
 
 
 def _xn_impl(bst, w_blocked, b, seg_idx, gather_idx, ctx_out, trans_a):
     if _bst_impl(bst) == "pallas" and _hs_ok(bst, b.shape[-1]):
+        if b.dtype == jnp.float16:
+            # f16->bf16 MXU shim (see _nt_impl)
+            return _xn_impl_pallas(
+                bst, w_blocked.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16), trans_a).astype(jnp.float16)
         return _xn_impl_pallas(bst, w_blocked, b, trans_a)
     return _xn_impl_xla(bst, w_blocked, b, seg_idx, gather_idx, ctx_out,
                         trans_a)

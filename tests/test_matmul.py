@@ -505,6 +505,118 @@ def test_dense_tile_gated(w_layout):
     np.testing.assert_allclose(np.asarray(DG), dg_ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("bsize", [32, 64])
+@pytest.mark.parametrize("w_layout", ["blocks", "fprop_packed"])
+def test_resident_mode(bsize, w_layout):
+    """VMEM-resident-x kernel (mode="resident"): one x column-tile copy
+    per n-tile, slots gathered with dynamic sublane slices — the same
+    dense-tile schedule, so outputs must match the goldens exactly like
+    the per-slot kernel does (kernels/bsmm.py
+    _xprop_dense_tile_resident_kernel)."""
+    CB, KB, N = 12, 10, 256       # N >= 256 so the resident TN exists
+    rng = np.random.RandomState(bsize)
+    layout = (rng.rand(CB, KB) < 0.35).astype(np.int32)
+    layout[0, 0] = 1
+    layout[4, :] = 0
+    bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0,
+                             impl="pallas", w_layout=w_layout,
+                             mode="resident")
+    assert bsmm.mode_f == "resident"
+    W = rng.uniform(-1, 1, (bsmm.blocks, bsize, bsize)).astype(np.float32)
+    X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    E = rng.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    Wd = bsmm.pack_weights(W) if w_layout == "fprop_packed" else W
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(Wd))
+    DWc = bsmm.unpack_weights(np.asarray(DW)) \
+        if w_layout == "fprop_packed" else np.asarray(DW)
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(DWc, bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("bsize", [8, 16, 32])
+def test_resident_matches_dense_tile_small_n(bsize):
+    """Small N (the canonical N=64 regime) runs the resident kernel at
+    TN=N — the regime where residency actually wins (no per-slot DMA
+    issue overhead; see kernels/bsmm.py resident_pick_tile).  Fine
+    blocks gain most (G=16 slot DMAs per chunk at b8).  Also covers the
+    dense_tile auto-switch to resident at N<=512 (ops/matmul.py) and
+    grads through it."""
+    layout = random_layout(256 // bsize, 256 // bsize, 0.4, seed=3)
+    rng = np.random.RandomState(3)
+    br = BlocksparseMatMul(layout, block_size=bsize, impl="pallas",
+                           mode="resident")
+    bd = BlocksparseMatMul(layout, block_size=bsize, impl="pallas",
+                           mode="dense_tile")
+    W = rng.uniform(-1, 1, br.w_shape).astype(np.float32)
+    X = rng.uniform(-1, 1, br.i_shape(64)).astype(np.float32)
+    E = rng.uniform(-1, 1, br.o_shape(64)).astype(np.float32)
+
+    def loss(b, x, w):
+        y = b(x, w)
+        return jnp.sum(y * E), y
+
+    (_, y1), (dx1, dw1) = jax.value_and_grad(
+        lambda x, w: loss(br, x, w), argnums=(0, 1), has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W))
+    (_, y2), (dx2, dw2) = jax.value_and_grad(
+        lambda x, w: loss(bd, x, w), argnums=(0, 1), has_aux=True)(
+        jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("w_layout", ["blocks", "fprop_packed"])
+def test_dense_tile_tall_r(w_layout):
+    """dense_tile_R > 128/bsize: tall (R*bsize, TN) output tiles halve
+    x slot re-reads on R-aligned structured layouts at constant MXU
+    passes — the >=0.90 roofline row's mechanism (results_bigr.json,
+    b64/R=4 aligned band 0.93).  Full op parity incl. grads."""
+    bsize, R, N = 32, 8, 128
+    nb = 16
+    lay = np.zeros((nb, nb), np.int32)
+    for g in range(nb // R):          # R-aligned band, width 4
+        lo = min(nb - 4, g * R)
+        lay[g * R:(g + 1) * R, lo:lo + 4] = 1
+    rng = np.random.RandomState(5)
+    bsmm = BlocksparseMatMul(lay, block_size=bsize, feature_axis=0,
+                             impl="pallas", w_layout=w_layout,
+                             mode="dense_tile", dense_tile_R=R)
+    assert bsmm.fprop_dt.R == R
+    W = rng.uniform(-1, 1, (bsmm.blocks, bsize, bsize)).astype(np.float32)
+    X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    E = rng.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    Wd = bsmm.pack_weights(W) if w_layout == "fprop_packed" else W
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(Wd))
+    DWc = bsmm.unpack_weights(np.asarray(DW)) \
+        if w_layout == "fprop_packed" else np.asarray(DW)
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(DWc, bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dense_tile_matches_grouped():
     """Both kernel families compute the same function."""
     layout = random_layout(12, 12, 0.25, seed=5)

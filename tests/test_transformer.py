@@ -689,3 +689,31 @@ def test_fused_attention_fp16():
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(yu, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_unfused_trio_fp16():
+    """fp16 through the unfused nt/masked_softmax/nn trio and direct
+    tn_op: the pallas dispatch casts f16->bf16 around the dots (Mosaic
+    rejects f16 dots on TPU) and re-emits f16 — same shim as the fused
+    branch (ops/transformer.py _nt_impl/_xn_impl)."""
+    from blocksparse_tpu.models.sparse_transformer import (
+        fixed_layout, causal_subblock_mask)
+    from blocksparse_tpu.ops.transformer import BlocksparseTransformer
+
+    bst = BlocksparseTransformer(fixed_layout(8, local_blocks=4),
+                                 block_size=16, heads=2,
+                                 mask_callback=causal_subblock_mask)
+    rng = np.random.RandomState(13)
+    Qh = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 128, 64)), jnp.float16)
+    Qf = Qh.astype(jnp.float32)
+
+    w = bst.nt_op(Qh, Qh)
+    assert w.dtype == jnp.float16
+    p = bst.masked_softmax(w, scale=0.25)
+    y = bst.nn_op(p, Qh)
+    t = bst.tn_op(p, Qh)
+    assert y.dtype == jnp.float16 and t.dtype == jnp.float16
+
+    yf = bst.nn_op(bst.masked_softmax(bst.nt_op(Qf, Qf), scale=0.25), Qf)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(yf), rtol=2e-2, atol=2e-2)

@@ -82,12 +82,17 @@ def main():
                     jobs.append((fb, x0, W))
                     labels.append(f"{kind}_b{bs}_{mode}_fb")
                     meta.append((kind, bs, bsmm))
-        # parity: same canonical weights through both modes
+        # parity: same canonical weights through both modes.  NB: both
+        # sides must see the same *packed* buffer — raw-random packed
+        # weights carry garbage in the ladder padding slots, which ARE
+        # billed by the pass-quantized dot width (that garbage is
+        # timing-neutral for the bench jobs above but not parity-neutral).
         bd, Wd, xd = pair["dense_tile"]
         br, Wr, xr = pair["resident"]
         Wc = np.asarray(bd.unpack_weights(np.asarray(jax.device_get(Wd))))
+        Wd2 = jnp.asarray(bd.pack_weights(Wc), dtype)
         Wr2 = jnp.asarray(br.pack_weights(Wc), dtype)
-        yd = np.asarray(jax.device_get(bd(xd, Wd)))
+        yd = np.asarray(jax.device_get(bd(xd, Wd2)))
         yr = np.asarray(jax.device_get(br(xd, Wr2)))
         err = float(np.abs(yd - yr).max() / (np.abs(yd).max() + 1e-9))
         print(f"parity {kind} b{bs}: rel err {err:.2e} "

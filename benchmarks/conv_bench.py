@@ -69,7 +69,8 @@ def main():
     p.add_argument("--batch", type=int, default=32 if on_tpu else 2)
     p.add_argument("--densities", type=str,
                    default="0.25,0.0625" if on_tpu else "0.5")
-    p.add_argument("--impls", type=str, default="conv,matmul")
+    p.add_argument("--impls", type=str,
+                   default="conv,matmul,bsmm" if on_tpu else "conv,matmul")
     p.add_argument("--out", type=str, default=result_path("conv"))
     args = p.parse_args()
 

@@ -2145,3 +2145,198 @@ def _xprop_grouped_contig_kernel(CH, G, R, bsize, trans_w, precision,
             return carry
         jax.lax.fori_loop(0, CH, body, 0)
     out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+# ------------------------------------------------------------------
+# Fine-block (b8/b16) kernel: per-output-row gathered panels from a
+# VMEM-resident x — SURVEY §7 hard-part 2
+# ------------------------------------------------------------------
+
+@dataclass
+class FineSchedule:
+    """Chunk stream for the fine-block kernel.
+
+    The dense-tile rectangle schedule dies at bsize <= 16: a full
+    128-row output tile needs R = 128/bsize = 16 rows whose column
+    UNION a random layout blows up, so MXU fill lands at 0.008-0.03
+    and b8 runs slower than dense (results_canonical_p2.json; VERDICT
+    r4 missing-item 5).  Here every chunk serves ONE output block-row
+    with exactly its own Gf slots — fill is 1.0 by construction (only
+    the <= Gf-1 slot pad of each row's last chunk is waste) — and the
+    kernel keeps x AND the whole f32 accumulator resident in VMEM
+    (both are tiny in the reference's canonical N=64 regime,
+    test/blocksparse_matmul_bench.py:75), so slot gathers are VPU
+    sublane slices and W streams from HBM exactly once, packed.
+    Reference capability: hgemm_blocksparse_8x64x8_xprop
+    (src/blocksparse_matmul_op_gpu.cu:9).
+
+      rows[j]     output block-row of chunk j (sentinel n_out_blocks
+                  for pad chunks)
+      slot[j, i]  x block-row gathered into contraction slot i
+      wmap[j, i]  weight block id for slot i (0 for pad: masked)
+      valid[j, i] 0/1 pad mask
+    """
+    rows: np.ndarray
+    slot: np.ndarray
+    wmap: np.ndarray
+    valid: np.ndarray
+    Gf: int
+    CH: int
+    n_out_blocks: int
+
+    @property
+    def num_chunks(self):
+        return self.rows.shape[0]
+
+    @property
+    def num_steps(self):
+        return self.rows.shape[0] // self.CH
+
+    def mxu_passes(self, bsize):
+        return self.num_chunks * max(1, (self.Gf * bsize) // CONTRACT)
+
+
+# target W tile per grid step (double-buffered by the auto-pipeline)
+FINE_W_TILE_BYTES = 256 * 1024
+
+
+def build_fine_schedule(entries_per_row, n_out_blocks: int, bsize: int,
+                        Gf: int | None = None,
+                        CH: int | None = None) -> FineSchedule:
+    """entries_per_row: list (len n_out_blocks) of lists of
+    (in_blk, w_id), as for the other builders."""
+    Gf = Gf or max(1, CONTRACT // bsize)
+    rows, slot, wmap, valid = [], [], [], []
+    for r in range(n_out_blocks):
+        ents = entries_per_row[r]
+        for i in range(0, len(ents), Gf):
+            chunk = ents[i:i + Gf]
+            pad = Gf - len(chunk)
+            rows.append(r)
+            slot.append([e[0] for e in chunk] + [0] * pad)
+            wmap.append([e[1] for e in chunk] + [0] * pad)
+            valid.append([1] * len(chunk) + [0] * pad)
+    if CH is None:
+        CH = max(8, FINE_W_TILE_BYTES // (bsize * Gf * bsize * 2))
+        CH = min(CH, max(1, len(rows)))
+    # pad the chunk stream to a CH multiple with sentinel-row chunks
+    while len(rows) % CH:
+        rows.append(n_out_blocks)
+        slot.append([0] * Gf)
+        wmap.append([0] * Gf)
+        valid.append([0] * Gf)
+    return FineSchedule(
+        rows=np.asarray(rows, np.int32),
+        slot=np.asarray(slot, np.int32),
+        wmap=np.asarray(wmap, np.int32),
+        valid=np.asarray(valid, np.int32),
+        Gf=Gf, CH=CH, n_out_blocks=n_out_blocks)
+
+
+def fine_panels(w, sched: FineSchedule, trans_w: bool):
+    """Chunk-order weight panels: (num_chunks*bsize, Gf*bsize); chunk j
+    rows [j*b, (j+1)*b), slot i columns [i*b, (i+1)*b).
+    trans_w=True (fprop, w blocks stored (c, k)) transposes each block.
+    """
+    b = w.shape[1]
+    flat = w[jnp.asarray(sched.wmap.reshape(-1))]       # (NC*Gf, b, b)
+    flat = flat * jnp.asarray(sched.valid.reshape(-1, 1, 1), w.dtype)
+    g = flat.reshape(sched.num_chunks, sched.Gf, b, b)
+    if trans_w:
+        g = g.transpose(0, 3, 1, 2)                     # [j, k, i, c]
+    else:
+        g = g.transpose(0, 2, 1, 3)                     # [j, c, i, k]
+    return g.reshape(sched.num_chunks * b, sched.Gf * b)
+
+
+def fine_vmem_estimate(C, KB_pad, TN, itemsize, sched: FineSchedule,
+                       bsize, out_itemsize=2):
+    return (C * TN * itemsize                     # resident x
+            + KB_pad * bsize * TN * 4             # resident f32 acc
+            + KB_pad * bsize * TN * out_itemsize  # out block
+            + 2 * sched.CH * bsize * sched.Gf * bsize * itemsize)  # w
+
+
+def _xprop_fine_kernel(Gf, CH, bsize, precision, S, TN, TN_IS_N,
+                       rows_ref, slot_ref, x_ref, w_ref, out_ref,
+                       acc_ref, xbuf, sem):
+    n, s = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        src = x_ref if TN_IS_N else x_ref.at[:, pl.ds(n * TN, TN)]
+        cp = pltpu.make_async_copy(src, xbuf, sem)
+        cp.start()
+        cp.wait()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def chunk(j):
+        base = s * CH + j
+        xcat = jnp.concatenate(
+            [xbuf[pl.ds(slot_ref[base * Gf + i] * bsize, bsize), :]
+             for i in range(Gf)], axis=0)                 # (Gf*b, TN)
+        wj = w_ref[pl.ds(j * bsize, bsize), :]            # (b, Gf*b)
+        off = rows_ref[base] * bsize
+        acc_ref[pl.ds(off, bsize), :] += jax.lax.dot_general(
+            wj, xcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def body(j, carry):
+        chunk(j)
+        return carry
+    jax.lax.fori_loop(0, CH, body, 0)
+
+    @pl.when(s == S - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def xprop_pallas_fine(x, w_panels, sched: FineSchedule, bsize: int,
+                      precision=None, out_dtype=None):
+    """x (C, N) feature-major; w_panels from :func:`fine_panels`.
+    Returns (n_out_blocks*bsize, N).  N must be <= 128 or a multiple
+    of 128 (the whole x column tile goes resident)."""
+    C, N = x.shape
+    TN = N if N <= 128 else 128
+    assert N % TN == 0
+    prec = dot_precision(x.dtype, precision)
+    out_dtype = out_dtype or x.dtype
+    S = sched.num_steps
+    CH, Gf = sched.CH, sched.Gf
+    KB_pad = sched.n_out_blocks + 1
+    M = KB_pad * bsize
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((CH * bsize, Gf * bsize),
+                         lambda n, s, rw, sl: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, TN), lambda n, s, rw, sl: (0, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, TN), jnp.float32),
+            pltpu.VMEM((C, TN), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    cost = pl.CostEstimate(
+        flops=2 * sched.num_chunks * bsize * Gf * bsize * N,
+        bytes_accessed=(C * N + w_panels.size * (N // TN))
+        * x.dtype.itemsize + M * N * 4,
+        transcendentals=0,
+    )
+    fn = pl.pallas_call(
+        functools.partial(_xprop_fine_kernel, Gf, CH, bsize, prec, S,
+                          TN, TN == N),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )
+    out = fn(jnp.asarray(sched.rows), jnp.asarray(sched.slot.reshape(-1)),
+             x, w_panels)
+    return out[:sched.n_out_blocks * bsize]

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from blocksparse_tpu.utils import ceil_div, reduce_mul
 from blocksparse_tpu.kernels.bsmm import dot_precision
+from blocksparse_tpu.kernels.im2col import im2col, im2col_supported
 
 
 # ---------------- helpers (parity: reference conv.py:1001-1094) --------
@@ -127,8 +128,10 @@ class BlocksparseConv:
                  dilates=(1, 1, 1), padding="SAME", debug=False,
                  deconv=False, impl="conv"):
         # impl: "conv" (vmapped XLA convs) | "matmul" (tap-chunked
-        # gathered matmul, fixed_block_size only) — see
-        # benchmarks/conv_bench.py for the measured comparison
+        # gathered matmul, fixed_block_size only) | "bsmm" (im2col +
+        # tap-tiled BlocksparseMatMul — the TPU fast path; requires
+        # aligned square channel blocks) — see benchmarks/conv_bench.py
+        # for the measured comparison
         self.impl = impl
         self.userTRS = list(TRS)
         for a in (TRS, DHW, MPQ, strides, dilates, padding):
@@ -183,6 +186,7 @@ class BlocksparseConv:
         self.debug = bool(debug)
         self.mpqSlice = None
         self.deconv = deconv
+        self._bsmm_op = None
 
         if self.fixed_block_size:
             self._lutC = np.array([list(c) for c, _ in BCK], np.int32)
@@ -235,6 +239,11 @@ class BlocksparseConv:
             coff += bC
         self._krow_of_elem = np.concatenate(krow)
         self._ccol_of_elem = np.concatenate(ccol)
+
+        if impl == "bsmm":
+            # eager: schedule building is host-side and must not run
+            # under a jit trace
+            self._build_bsmm()
 
     # ---------------- shapes ----------------
 
@@ -353,6 +362,118 @@ class BlocksparseConv:
         return jnp.moveaxis(y, 0, 1).reshape(
             (N, self.K) + tuple(self.MPQ)).astype(I.dtype)
 
+    def _build_bsmm(self):
+        """Lazily build the tap-tiled BlocksparseMatMul behind
+        impl='bsmm'.
+
+        The conv's channel connectivity (bC x bK blocks over C x K) is
+        lifted to a (CB*trs, KB) block layout: each filter tap tiles the
+        layout along the contraction axis, so block row cb*trs + tap
+        covers input features [cb*trs*b + tap*b, +b).  The whole conv
+        then runs as ONE block-sparse matmul with contraction depth
+        C*trs and N = batch * MPQ pixels — the dense_tile kernel's
+        preferred regime (large N, deep contraction)."""
+        from blocksparse_tpu.ops.matmul import BlocksparseMatMul
+        bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
+        if not self.fixed_block_size or bC != bK or \
+                bC not in (8, 16, 32, 64, 128) or \
+                self.C % bC or self.K % bC:
+            raise ValueError(
+                "impl='bsmm' requires fixed square channel blocks of "
+                "size 8/16/32/64/128 dividing C and K (got bC=%d bK=%d "
+                "C=%d K=%d)" % (bC, bK, self.C, self.K))
+        CB, KB = self.C // bC, self.K // bC
+        layout = np.zeros((CB * self.trs, KB), np.int32)
+        block_of = {}
+        for b, (listC, listK) in enumerate(self.BCK):
+            c0, k0 = listC[0], listK[0]
+            if (c0 % bC or k0 % bC
+                    or list(listC) != list(range(c0, c0 + bC))
+                    or list(listK) != list(range(k0, k0 + bC))):
+                raise ValueError(
+                    "impl='bsmm' requires aligned contiguous channel "
+                    "blocks (block %d spans C%s K%s)"
+                    % (b, listC[:2], listK[:2]))
+            cb, kb = c0 // bC, k0 // bC
+            if (cb, kb) in block_of:
+                raise ValueError(
+                    "impl='bsmm' requires unique (cb, kb) blocks")
+            block_of[(cb, kb)] = b
+            layout[cb * self.trs:(cb + 1) * self.trs, kb] = 1
+        op = BlocksparseMatMul(layout, block_size=bC, feature_axis=0)
+        wb = np.empty(op.blocks, np.int32)
+        wt = np.empty(op.blocks, np.int32)
+        for w, (c, k) in enumerate(op.updat_list):
+            wb[w] = block_of[(c // self.trs, k)]
+            wt[w] = c % self.trs
+        self._bsmm_op = op
+        self._bsmm_wb = wb
+        self._bsmm_wt = wt
+
+    def _conv_fwd_bsmm(self, F, I):
+        """im2col + tap-tiled block-sparse matmul (the TPU fast path).
+
+        Each tap becomes a strided slice of the padded input; slices are
+        stacked tap-minor within each channel block so x rows match the
+        tiled layout of :meth:`_build_bsmm`, then the tuned bsmm kernel
+        does all the FLOPs in one launch.  The reference's analog is
+        im2col per superblock onto the tensor cores
+        (src/blocksparse_conv_op.cc:261); on TPU the tuned
+        dense_tile bsmm (benchmarks/results_canonical.json) replaces the
+        hand-written SASS.  Measured vs the vmapped-conv lowering:
+        benchmarks/results_conv.json."""
+        N = I.shape[0]
+        bC = self._bsmm_op.bsize
+        T, R, S = self.TRS
+        M, P, Q = self.MPQ
+        st, dil, pd = self.strides, self.dilates, self.padding
+        dims = list(self.DHW)
+        trs_d = [T, R, S]
+        mpq = [M, P, Q]
+        padding = [(0, 0), (0, 0)]
+        for i in range(3):
+            need = (mpq[i] - 1) * st[i] + (trs_d[i] - 1) * dil[i] + 1
+            padding.append((pd[i], max(need - dims[i] - pd[i], pd[i])))
+        Ic = jnp.moveaxis(I, 1, 0)              # (C, N, D, H, W)
+        npix = M * P * Q
+        if im2col_supported(self.TRS, self.DHW, self.MPQ, list(st),
+                            list(dil), list(pd), self.C, bC):
+            # Pallas tap-shift im2col: ONE bandwidth-speed pass.  Any
+            # XLA build of X (pad + strided tap slices + stack, or a
+            # one-hot depthwise conv) writes 64-byte strided runs and
+            # measured ~8.5 ms at the bench C=512/32^2 config — 6x the
+            # whole block-sparse matmul (tools/tpu_conv_probe{3,4}.py).
+            xc = Ic.reshape(self.C, N * self.DHW[1] * self.DHW[2])
+            X = im2col(xc, self.DHW[1], self.DHW[2], R, S,
+                       int(pd[1]), int(pd[2]), bC)
+        else:
+            # general case (stride/dilation/3-D): channel-first tap
+            # slices stacked on axis 1 write the (cb, tap, ci) row
+            # order the tiled layout expects without any 5-D transpose
+            Ipad = jnp.pad(Ic, [padding[1], padding[0]] + padding[2:])
+            xs = []
+            for t in range(T):
+                for r in range(R):
+                    for s in range(S):
+                        start = (0, 0, t * dil[0], r * dil[1],
+                                 s * dil[2])
+                        limit = (self.C, N,
+                                 t * dil[0] + (M - 1) * st[0] + 1,
+                                 r * dil[1] + (P - 1) * st[1] + 1,
+                                 s * dil[2] + (Q - 1) * st[2] + 1)
+                        sl = jax.lax.slice(Ipad, start, limit,
+                                           (1, 1, st[0], st[1], st[2]))
+                        xs.append(sl.reshape(self.C // bC, bC,
+                                             N * npix))
+            X = jnp.stack(xs, axis=1)           # (CB, trs, bC, N*npix)
+        X = X.reshape(self.C * self.trs, N * npix)
+        Fb = jnp.asarray(F).reshape(self.blocks, bC, bC, self.trs)
+        W = jnp.transpose(Fb[self._bsmm_wb, :, :, self._bsmm_wt],
+                          (0, 2, 1))            # (w, c, k)
+        y = self._bsmm_op(X, W.astype(X.dtype))  # (K, N*npix)
+        y = jnp.moveaxis(y.reshape(self.K, N, M, P, Q), 0, 1)
+        return y.astype(I.dtype)
+
     def _conv_fwd(self, F, I):
         """I: (N, C, D, H, W); returns (N, K, M, P, Q)."""
         N = I.shape[0]
@@ -366,9 +487,11 @@ class BlocksparseConv:
         # accumulates in f32 internally for bf16 convs regardless
         acc = jnp.float32 if I.dtype == jnp.float32 else None
 
-        if self.fixed_block_size and getattr(self, "impl", "conv") \
-                == "matmul":
+        impl = getattr(self, "impl", "conv")
+        if self.fixed_block_size and impl == "matmul":
             return self._conv_fwd_matmul(F, I)
+        if self.fixed_block_size and impl == "bsmm":
+            return self._conv_fwd_bsmm(F, I)
         if self.fixed_block_size:
             bK, bC = len(self.BCK[0][1]), len(self.BCK[0][0])
             Fb = jnp.asarray(F).astype(I.dtype).reshape(

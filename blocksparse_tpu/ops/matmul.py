@@ -34,6 +34,7 @@ from blocksparse_tpu.kernels.bsmm import (
     dense_tile_panels, dense_tile_vmem_estimate,
     dense_tile_flat_pos, dense_tile_blocks_view,
     build_window_schedule, window_vmem_estimate,
+    build_fine_schedule,
 )
 import copy as _copy
 from blocksparse_tpu.kernels.common import pick_tile
@@ -128,7 +129,7 @@ class BlocksparseMatMul:
             raise ValueError("Unsupported block size: %d" % block_size)
         assert w_layout in ("blocks", "fprop_packed")
         assert mode in ("auto", "grouped", "dense_tile", "window",
-                        "resident")
+                        "resident", "fine")
         self.axis = feature_axis
         self.bsize = block_size
         self.z_order = z_order
@@ -338,6 +339,19 @@ class BlocksparseMatMul:
         # window schedules duck-type the dense-tile panel layout
         self._panels_f = self.mode_f in ("dense_tile", "window", "resident")
         self._panels_b = self.mode_b in ("dense_tile", "window", "resident")
+
+        # Fine-block schedules (SURVEY §7 hard-part 2): per-output-row
+        # chunks + VMEM-resident x/acc — fill 1.0 where the dense-tile
+        # rectangle's R=128/bsize row-union collapses it (b8 random ran
+        # SLOWER than dense, results_canonical_p2.json).  Auto-selected
+        # at call time for bsize <= 16 in the small-N (<= 128) regime;
+        # mode="fine" pins it (any bsize) for A/B.
+        self.fprop_fine = self.bprop_fine = None
+        if mode in ("auto", "fine") and block_size <= 32:
+            self.fprop_fine = build_fine_schedule(fprop_rows, KB,
+                                                  block_size)
+            self.bprop_fine = build_fine_schedule(bprop_rows, CB,
+                                                  block_size)
 
         # flat sorted entry arrays for the XLA fallback impl
         def _flat(rows):
@@ -705,6 +719,23 @@ class BlocksparseMatMul:
         pads = ((0, 0), (0, n_pad - n)) if axis_is_last else ((0, n_pad - n), (0, 0))
         return jnp.pad(x, pads), n
 
+    def _fine_ok(self, fs, xp):
+        """Run the fine-block kernel?  Auto only in its measured win
+        regime (bsize <= 16, whole x resident, N <= 128); mode='fine'
+        pins it for any eligible shape.  Always requires the VMEM
+        working set (x + f32 acc + out + W tiles) to fit."""
+        if fs is None:
+            return False
+        N = xp.shape[1]
+        if self.mode != "fine" and (self.bsize > 16 or N > 128):
+            return False
+        if N > 128 and N % 128:
+            return False
+        TN = N if N <= 128 else 128
+        return bsmm_kernels.fine_vmem_estimate(
+            xp.shape[0], fs.n_out_blocks + 1, TN, xp.dtype.itemsize,
+            fs, self.bsize, xp.dtype.itemsize) <= bsmm_kernels.VMEM_LIMIT
+
     def _fprop_impl(self, x, w):
         """Mosaic requires the minor block dim be lane-sized, so the Pallas
         path always runs feature-major (CN); axis=1 transposes around it
@@ -734,7 +765,13 @@ class BlocksparseMatMul:
             y = None
             grouped_packed = self.w_layout == "fprop_packed" \
                 and not self._panels_f
-            if self.mode_f == "window":
+            if self._fine_ok(self.fprop_fine, xp):
+                panels = bsmm_kernels.fine_panels(
+                    self._canonical_w(w), self.fprop_fine, True)
+                y = bsmm_kernels.xprop_pallas_fine(
+                    xp, panels, self.fprop_fine, self.bsize,
+                    out_dtype=x.dtype)
+            if y is None and self.mode_f == "window":
                 TN = self._win_tile(self.fprop_dt, xp.shape[1],
                                     xp.dtype.itemsize)
                 if TN is not None:
@@ -747,7 +784,7 @@ class BlocksparseMatMul:
                         out_dtype=x.dtype)
                 else:
                     w = self._canonical_w(w)
-            elif self.mode_f in ("dense_tile", "resident"):
+            elif y is None and self.mode_f in ("dense_tile", "resident"):
                 res = self.mode_f == "resident" or (
                     xp.shape[1] <= 512 and self.bsize <= 64)
                 if res:
@@ -820,7 +857,14 @@ class BlocksparseMatMul:
                 and self._panels_f
             grouped_packed = self.w_layout == "fprop_packed" \
                 and not dt_packed
-            if self.mode_b in ("dense_tile", "window", "resident"):
+            if self._fine_ok(self.bprop_fine, dyp):
+                panels = bsmm_kernels.fine_panels(
+                    self._canonical_w(w), self.bprop_fine, False)
+                dx = bsmm_kernels.xprop_pallas_fine(
+                    dyp, panels, self.bprop_fine, self.bsize,
+                    out_dtype=dy.dtype)
+            if dx is None and self.mode_b in ("dense_tile", "window",
+                                              "resident"):
                 res = self.mode_b == "resident" or (
                     self.mode_b == "dense_tile" and dyp.shape[1] <= 512
                     and self.bsize <= 64)

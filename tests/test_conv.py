@@ -305,6 +305,88 @@ def test_conv_matmul_impl(stride, dilate):
                                bsc.updat_test(E, I), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("stride,dilate", [(1, 1), (2, 1), (1, 2)])
+def test_conv_bsmm_impl(stride, dilate):
+    """im2col + tap-tiled BlocksparseMatMul lowering matches the goldens
+    (fprop + both grads), incl. strided and dilated convs."""
+    N = 2
+    rng8 = lambda b: tuple(range(b * 8, (b + 1) * 8))  # noqa: E731
+    BCK = [(rng8(cb), rng8(kb))
+           for cb, kb in [(0, 0), (0, 1), (1, 1), (2, 2), (3, 0), (3, 3)]]
+    bsc = BlocksparseConv(BCK, (3, 3), (12, 12), strides=(stride, stride),
+                          dilates=(dilate, dilate), padding="SAME",
+                          impl="bsmm")
+    F_blocks = [np.random.uniform(-1, 1, bsc.f_shape(b)[:2] + bsc.TRS)
+                .astype(np.float32) for b in range(bsc.blocks)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, bsc.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsc.o_shape(N)).astype(np.float32)
+
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)
+
+    def loss(f, x):
+        return jnp.sum(bsc(f, x) * jnp.asarray(E))
+
+    dF, dI = jax.grad(loss, argnums=(0, 1))(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(dI), bsc.bprop_test(F_blocks, E),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dF).reshape(-1),
+                               bsc.updat_test(E, I), rtol=1e-3, atol=1e-4)
+
+
+def test_conv_bsmm_impl_1d_and_ineligible():
+    """bsmm impl on a 1-D conv; unaligned blocks raise a clear error."""
+    bsc = BlocksparseConv(make_bck(2, 8, 8, 16, 16, seed=3), (3,), (10,),
+                          padding="SAME", impl="bsmm")
+    F = np.stack([np.random.uniform(-1, 1, bsc.f_shape(b)[:2] + bsc.TRS)
+                  .astype(np.float32) for b in range(bsc.blocks)])
+    I = np.random.uniform(-1, 1, bsc.i_shape(2)).astype(np.float32)
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(
+        np.asarray(y), bsc.fprop_test(list(F), I), rtol=1e-3, atol=1e-4)
+
+    with pytest.raises(ValueError, match="aligned contiguous"):
+        BlocksparseConv([((0, 2, 4, 6, 8, 10, 12, 14),
+                          tuple(range(8)))], (3,), (10,),
+                        padding="SAME", impl="bsmm")
+
+
+def test_conv_bsmm_pallas_im2col():
+    """SAME/stride-1 2-D convs with lane-aligned npix take the Pallas
+    tap-shift im2col + col2im pair (kernels/im2col.py) instead of the
+    XLA tap-slice build; fprop and both grads must match the goldens."""
+    from blocksparse_tpu.kernels.im2col import im2col_supported
+    N, C, b, HW = 2, 32, 8, 16         # npix = 256, lane-aligned
+    BCK = [(tuple(range(cb * b, (cb + 1) * b)),
+            tuple(range(kb * b, (kb + 1) * b)))
+           for cb, kb in [(0, 0), (0, 1), (1, 1), (2, 2), (3, 0),
+                          (3, 3), (2, 1)]]
+    bsc = BlocksparseConv(BCK, (3, 3), (HW, HW), padding="SAME",
+                          impl="bsmm")
+    assert im2col_supported(bsc.TRS, bsc.DHW, bsc.MPQ,
+                            list(bsc.strides), list(bsc.dilates),
+                            list(bsc.padding), C, b)
+    F_blocks = [np.random.uniform(-1, 1, bsc.f_shape(i)[:2] + bsc.TRS)
+                .astype(np.float32) for i in range(bsc.blocks)]
+    F = np.stack(F_blocks)
+    I = np.random.uniform(-1, 1, bsc.i_shape(N)).astype(np.float32)
+    E = np.random.uniform(-1, 1, bsc.o_shape(N)).astype(np.float32)
+    y = bsc(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(y), bsc.fprop_test(F_blocks, I),
+                               rtol=1e-3, atol=1e-4)
+
+    def loss(f, x):
+        return jnp.sum(bsc(f, x) * jnp.asarray(E))
+
+    dF, dI = jax.grad(loss, argnums=(0, 1))(jnp.asarray(F), jnp.asarray(I))
+    np.testing.assert_allclose(np.asarray(dI), bsc.bprop_test(F_blocks, E),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dF).reshape(-1),
+                               bsc.updat_test(E, I), rtol=1e-3, atol=1e-4)
+
+
 def test_conv_matmul_impl_overlap_k_3d():
     """matmul impl with overlapping K sets (segment-sum path) and a
     3-D conv."""

@@ -939,3 +939,60 @@ def test_fp16_pallas_fwd_bwd():
     DXg = bsmm.bprop_test(E.astype(np.float32), W.astype(np.float32))
     np.testing.assert_allclose(np.asarray(DX, np.float32), DXg,
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("bsize", [8, 16])
+@pytest.mark.parametrize("w_layout", ["blocks", "fprop_packed"])
+def test_fine_mode_small_blocks(bsize, w_layout):
+    """Fine-block kernel (kernels/bsmm.py xprop_pallas_fine): one chunk
+    per output block-row (fill 1.0, no R-row union), x and the f32
+    accumulator VMEM-resident.  Auto-selected for bsize <= 16 at
+    N <= 128 — the reference's canonical b8/N=64 regime
+    (test/blocksparse_matmul_bench.py:75, hgemm_blocksparse_8x64x8) —
+    so mode='auto' here must route fprop AND bprop through it while
+    matching the NumPy goldens; grads compose with the existing updat
+    kernels."""
+    CB, KB, N = 20, 24, 64
+    rng = np.random.RandomState(bsize)
+    layout = (rng.rand(CB, KB) < 0.25).astype(np.int32)
+    layout[0, 0] = 1
+    layout[:, 5] = 0          # empty output row stays zero
+    bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0,
+                             impl="pallas", w_layout=w_layout)
+    assert bsmm.fprop_fine is not None
+    X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    assert bsmm._fine_ok(bsmm.fprop_fine, jnp.asarray(X))
+    W = rng.uniform(-1, 1, (bsmm.blocks, bsize, bsize)).astype(np.float32)
+    E = rng.uniform(-1, 1, bsmm.o_shape(N)).astype(np.float32)
+    Wd = bsmm.pack_weights(W) if w_layout == "fprop_packed" else W
+
+    def loss(x, w):
+        y = bsmm(x, w)
+        return jnp.sum(y * E), y
+
+    (_, Y), (DX, DW) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(jnp.asarray(X), jnp.asarray(Wd))
+    DWc = bsmm.unpack_weights(np.asarray(DW)) \
+        if w_layout == "fprop_packed" else np.asarray(DW)
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(DX), bsmm.bprop_test(E, W),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(DWc, bsmm.updat_test(X, E),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fine_mode_pinned_axis1_and_large_n():
+    """mode='fine' pins the kernel for b32 (A/B experiments) and for
+    N > 128 when N % 128 == 0; feature_axis=1 transposes around it."""
+    rng = np.random.RandomState(5)
+    layout = (rng.rand(8, 6) < 0.4).astype(np.int32)
+    layout[0, 0] = 1
+    bsmm = BlocksparseMatMul(layout, block_size=32, feature_axis=1,
+                             impl="pallas", mode="fine")
+    N = 256
+    X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
+    W = rng.uniform(-1, 1, bsmm.w_shape).astype(np.float32)
+    Y = bsmm(jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(Y), bsmm.fprop_test(X, W),
+                               rtol=1e-4, atol=1e-4)

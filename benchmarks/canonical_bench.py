@@ -217,7 +217,7 @@ def main():
                    "fwdbwd_ms_per_app": round(t_fb * 1e3, 4),
                    "fwd_eff_tflops": round(eff, 2),
                    "flops_roofline_fraction": round(frac, 4),
-                   "mode": getattr(bsmm, "mode_f", "?"),
+                   "mode": bsmm.dispatch_mode(args.N, dtype.itemsize),
                    "anchor_ms": anchor["anchor_ms"],
                    "timing_valid": anchor["timing_valid"]}
             if t_dense is not None:
@@ -232,7 +232,7 @@ def main():
             print(f"{hidden:7d} {bsize:5d} {100*dens:6.2f} "
                   f"{bsmm.blocks:7d} {t_f*1e3:8.4f} {t_fb*1e3:8.4f} "
                   f"{eff:8.2f} {frac:6.3f} "
-                  f"{getattr(bsmm, 'mode_f', '?'):>10}")
+                  f"{row['mode']:>10}")
 
     if args.readme:
         # README config: 4096^2, b32, N=64, uniform random layout, fp32

@@ -343,11 +343,15 @@ class BlocksparseMatMul:
         # Fine-block schedules (SURVEY §7 hard-part 2): per-output-row
         # chunks + VMEM-resident x/acc — fill 1.0 where the dense-tile
         # rectangle's R=128/bsize row-union collapses it (b8 random ran
-        # SLOWER than dense, results_canonical_p2.json).  Auto-selected
-        # at call time for bsize <= 16 in the small-N (<= 128) regime;
-        # mode="fine" pins it (any bsize) for A/B.
+        # SLOWER than dense, results_canonical_p2.json).  Measured ON
+        # CHIP it loses 2.6-11x to dense_tile/resident at the canonical
+        # b8/b16 N=64 rows (results_fine_ab.json): fill 1.0 cannot pay
+        # for the (bsize x N) output tile filling only bsize/128
+        # sublanes x N/128 lanes of the MXU — 3% at b8/N=64.  That is
+        # the measured packing ceiling for per-row fine gathers;
+        # mode="fine" pins the kernel for A/B, auto never picks it.
         self.fprop_fine = self.bprop_fine = None
-        if mode in ("auto", "fine") and block_size <= 32:
+        if mode == "fine" and block_size <= 32:
             self.fprop_fine = build_fine_schedule(fprop_rows, KB,
                                                   block_size)
             self.bprop_fine = build_fine_schedule(bprop_rows, CB,
@@ -720,21 +724,50 @@ class BlocksparseMatMul:
         return jnp.pad(x, pads), n
 
     def _fine_ok(self, fs, xp):
-        """Run the fine-block kernel?  Auto only in its measured win
-        regime (bsize <= 16, whole x resident, N <= 128); mode='fine'
-        pins it for any eligible shape.  Always requires the VMEM
-        working set (x + f32 acc + out + W tiles) to fit."""
-        if fs is None:
+        """Run the fine-block kernel?  Only when mode='fine' pins it
+        (A/B experiments): on-chip A/B showed it losing 2.6-11x to the
+        dense_tile/resident paths at the canonical b8/b16 N=64 rows
+        (results_fine_ab.json; see the build-time comment).  Requires
+        the VMEM working set (x + f32 acc + out + W tiles) to fit."""
+        if fs is None or self.mode != "fine":
             return False
         N = xp.shape[1]
-        if self.mode != "fine" and (self.bsize > 16 or N > 128):
-            return False
         if N > 128 and N % 128:
             return False
         TN = N if N <= 128 else 128
         return bsmm_kernels.fine_vmem_estimate(
             xp.shape[0], fs.n_out_blocks + 1, TN, xp.dtype.itemsize,
             fs, self.bsize, xp.dtype.itemsize) <= bsmm_kernels.VMEM_LIMIT
+
+    def dispatch_mode(self, N, itemsize=2):
+        """The kernel the fprop dispatch will actually pick for a
+        minibatch of N columns — mirrors `_fprop_impl`'s decision tree
+        without running it.  Diagnostic only (benchmark row labels):
+        the build-time `mode_f` can't see the dynamic fine/resident
+        selection that depends on N and dtype."""
+        N_pad = N if N % 8 == 0 else round_up(N, 64 if N > 32 else 8)
+
+        class _Shim:
+            shape = (self.C, N_pad)
+            dtype = jnp.dtype(jnp.bfloat16 if itemsize == 2
+                              else jnp.float32)
+        if self._fine_ok(self.fprop_fine, _Shim):
+            return "fine"
+        if self.mode_f == "window":
+            return "window"
+        if self.mode_f in ("dense_tile", "resident"):
+            if self.mode_f == "resident" or (N_pad <= 512
+                                             and self.bsize <= 64):
+                TN = bsmm_kernels.resident_pick_tile(
+                    self.C, N_pad, itemsize, sched=self.fprop_dt,
+                    bsize=self.bsize, out_itemsize=itemsize)
+                if TN is not None and (self.mode_f == "resident"
+                                       or TN == N_pad):
+                    return "resident"
+            if self._dt_tile(self.C, self.fprop_dt, N_pad,
+                             itemsize) is not None:
+                return "dense_tile"
+        return "grouped"
 
     def _fprop_impl(self, x, w):
         """Mosaic requires the minor block dim be lane-sized, so the Pallas

@@ -946,19 +946,22 @@ def test_fp16_pallas_fwd_bwd():
 def test_fine_mode_small_blocks(bsize, w_layout):
     """Fine-block kernel (kernels/bsmm.py xprop_pallas_fine): one chunk
     per output block-row (fill 1.0, no R-row union), x and the f32
-    accumulator VMEM-resident.  Auto-selected for bsize <= 16 at
-    N <= 128 — the reference's canonical b8/N=64 regime
-    (test/blocksparse_matmul_bench.py:75, hgemm_blocksparse_8x64x8) —
-    so mode='auto' here must route fprop AND bprop through it while
-    matching the NumPy goldens; grads compose with the existing updat
-    kernels."""
+    accumulator VMEM-resident.  The reference's canonical b8/N=64
+    regime (test/blocksparse_matmul_bench.py:75,
+    hgemm_blocksparse_8x64x8).  On-chip A/B (results_fine_ab.json)
+    showed the (bsize x N) output tile underfills the MXU 2.6-11x
+    worse than dense_tile/resident, so auto never picks it;
+    mode='fine' pins it and must route fprop AND bprop through it
+    while matching the NumPy goldens; grads compose with the existing
+    updat kernels."""
     CB, KB, N = 20, 24, 64
     rng = np.random.RandomState(bsize)
     layout = (rng.rand(CB, KB) < 0.25).astype(np.int32)
     layout[0, 0] = 1
     layout[:, 5] = 0          # empty output row stays zero
     bsmm = BlocksparseMatMul(layout, block_size=bsize, feature_axis=0,
-                             impl="pallas", w_layout=w_layout)
+                             impl="pallas", w_layout=w_layout,
+                             mode="fine")
     assert bsmm.fprop_fine is not None
     X = rng.uniform(-1, 1, bsmm.i_shape(N)).astype(np.float32)
     assert bsmm._fine_ok(bsmm.fprop_fine, jnp.asarray(X))

@@ -20,8 +20,11 @@ p.add_argument("--bsize", type=int, default=8)
 p.add_argument("--m", type=int, default=56)
 p.add_argument("--N", type=int, default=64)
 p.add_argument("--depth", type=int, default=8)
-p.add_argument("--modes", type=str, default="fine,dense_tile")
+p.add_argument("--modes", type=str, default="fine,auto")
+p.add_argument("--out", type=str, default="")
 args = p.parse_args()
+
+out_rows = []
 
 n = args.hidden // args.bsize
 layout = make_mask(n, f"ba_{args.m}", seed=0)
@@ -70,7 +73,32 @@ for mode in args.modes.split(","):
     (t_f, t_fb), anch = bench_slope(
         [(fwd_step, x0, W), (fb_step, x0, W)], chains=(1, 4), iters=24,
         reps=4, with_anchor=True, retries=2)
-    print(f"{mode:10s} fwd {t_f/args.depth*1e3:7.4f} ms/app  "
+    disp = op.dispatch_mode(args.N, np.dtype(np.float16).itemsize)
+    print(f"{mode:10s} ({disp}) fwd {t_f/args.depth*1e3:7.4f} ms/app  "
           f"fwd+bwd {t_fb/args.depth*1e3:7.4f} ms/app  "
           f"anchor {anch['anchor_ms']:.4f} valid {anch['timing_valid']}",
           flush=True)
+    out_rows.append({
+        "mode": mode, "dispatch": disp,
+        "fwd_ms_per_app": round(t_f / args.depth * 1e3, 4),
+        "fwdbwd_ms_per_app": round(t_fb / args.depth * 1e3, 4),
+        "rel_err": float(err),
+        "anchor_ms": anch["anchor_ms"],
+        "timing_valid": anch["timing_valid"]})
+
+if args.out:
+    import json
+    payload = {"backend": jax.default_backend(), "hidden": args.hidden,
+               "bsize": args.bsize, "m": args.m, "N": args.N,
+               "depth": args.depth, "blocks": blocks,
+               "density": round(blocks / n / n, 4), "rows": out_rows}
+    prev = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+            if isinstance(prev, dict):
+                prev = [prev]
+    prev.append(payload)
+    with open(args.out, "w") as f:
+        json.dump(prev, f, indent=1)
+    print(f"wrote {args.out}", flush=True)

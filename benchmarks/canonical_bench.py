@@ -227,6 +227,14 @@ def main():
                 row["frac_of_dense_control"] = round(
                     dens * t_dense / t_f, 4)
                 row["dense_anchor_valid"] = d_anchor["timing_valid"]
+                # At N=64 the dense control is weight-bandwidth-bound:
+                # an app must read hidden^2 weight bytes, so ms below
+                # bytes/2TB/s (generous over the ~1.4 TB/s measured)
+                # is a tunnel-memoization artifact (BENCH_NOTES round-1
+                # notes) and the vs-dense ratio is conservative-only.
+                w_bytes = hidden * hidden * dtype.itemsize
+                row["dense_bw_plausible"] = bool(
+                    t_dense >= w_bytes / 2.0e12)
             results["rows"].append(row)
             flush()
             print(f"{hidden:7d} {bsize:5d} {100*dens:6.2f} "

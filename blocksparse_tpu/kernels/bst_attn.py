@@ -89,7 +89,7 @@ class AttnSchedule:
     slice selected by axis_index inside shard_map — sequence parallel);
     every consumer only relies on shapes and passes them through to
     pallas_call as operands."""
-    row: np.ndarray       # (S,) q block-row of each step
+    row: np.ndarray       # (S,) q block-row (or row-GROUP, q_mult>1)
     first: np.ndarray     # (S,)
     last: np.ndarray      # (S,)
     k_idx: np.ndarray     # (lut_heads, S, E) k block ctx index
@@ -97,6 +97,15 @@ class AttnSchedule:
     muniq: np.ndarray     # (n_uniq*bs, bs) int8 unique arbitrary blocks
     E: int
     bs: int
+    # q-row pairing (q_mult=2): each step serves a GROUP of q_mult
+    # adjacent q block-rows with one (q_mult*bs, hs) q tile, amortizing
+    # the per-row fixed cost (q load, softmax state, out write — 41% of
+    # the sp75 row, results_attn_breakdown.json) over q_mult rows.
+    # k_idx holds the union of the group's k blocks; mcode masks the
+    # FIRST row's visibility per slot, mcode2 the second's
+    # (MASK_ABSENT where a row lacks the block).
+    q_mult: int = 1
+    mcode2: np.ndarray = None
 
     @property
     def num_steps(self):
@@ -105,9 +114,12 @@ class AttnSchedule:
     @property
     def num_blocks_scheduled(self):
         if isinstance(self.mcode, np.ndarray):
-            return int((self.mcode != MASK_ABSENT).sum())
+            n = int((self.mcode != MASK_ABSENT).sum())
+            if self.mcode2 is not None:
+                n += int((self.mcode2 != MASK_ABSENT).sum())
+            return n
         # traced schedule: upper bound (cost-estimate use only)
-        return int(np.prod(self.mcode.shape))
+        return int(np.prod(self.mcode.shape)) * self.q_mult
 
 
 def classify_mask_blocks(mask_blocks, bs):
@@ -142,15 +154,28 @@ def classify_mask_blocks(mask_blocks, bs):
 
 
 def build_attn_schedule(nn_list_per_head, ctx_blks_q, bs,
-                        mask_blocks=None, E=None, classified=None):
+                        mask_blocks=None, E=None, classified=None,
+                        q_mult=1):
     """nn_list_per_head: [heads][q_row] -> list of (block_id, k_blk).
     mask_blocks: (lut_heads, blocks, bs, bs) bool or None (None = all
     scheduled blocks fully visible).  classified: optional pre-computed
     (blk_codes, muniq) from classify_mask_blocks — lets many schedules
-    (e.g. per ring pair) share one unique-block table."""
+    (e.g. per ring pair) share one unique-block table.
+
+    q_mult=2 pairs adjacent q block-rows: each step's k_idx is the
+    UNION of the pair's k blocks, mcode the first row's per-slot
+    visibility and mcode2 the second's (MASK_ABSENT where that row
+    lacks the block).  Requires ctx_blks_q % 2 == 0.  Union slots a
+    row lacks bill its half of the (2bs, bs) score tile for nothing —
+    cheap for layouts where adjacent rows share most k blocks (local
+    windows shift by one block, verticals are identical)."""
     if E is None:
         E = max(1, 512 // bs)
     lut_heads = len(nn_list_per_head)
+    assert q_mult in (1, 2), q_mult
+    if q_mult == 2:
+        assert ctx_blks_q % 2 == 0, \
+            "q_mult=2 requires an even q block-row count"
 
     if classified is not None:
         blk_codes, muniq = classified
@@ -158,6 +183,55 @@ def build_attn_schedule(nn_list_per_head, ctx_blks_q, bs,
         blk_codes, muniq = classify_mask_blocks(mask_blocks, bs)
     else:
         blk_codes, muniq = None, np.zeros((bs, bs), np.int8)
+
+    def code_of(h, bid):
+        return MASK_FULL if blk_codes is None else blk_codes[h, bid]
+
+    if q_mult == 2:
+        # per pair and head: ordered union keyed by k block, with the
+        # per-half codes
+        n_groups = ctx_blks_q // 2
+        unions = []       # [h][g] -> list of (kb, code_top, code_bot)
+        for h in range(lut_heads):
+            per_g = []
+            for g in range(n_groups):
+                top = {kb: code_of(h, bid)
+                       for bid, kb in nn_list_per_head[h][2 * g]}
+                bot = {kb: code_of(h, bid)
+                       for bid, kb in nn_list_per_head[h][2 * g + 1]}
+                kbs = list(top.keys()) \
+                    + [kb for kb in bot if kb not in top]
+                per_g.append([(kb, top.get(kb, MASK_ABSENT),
+                               bot.get(kb, MASK_ABSENT)) for kb in kbs])
+            unions.append(per_g)
+        chunks_per_row = []
+        for g in range(n_groups):
+            n = max(max(len(u[g]) for u in unions), 1)
+            chunks_per_row.append(-(-n // E))
+        S = sum(chunks_per_row)
+        row = np.zeros(S, np.int32)
+        first = np.zeros(S, np.int32)
+        last = np.zeros(S, np.int32)
+        k_idx = np.zeros((lut_heads, S, E), np.int32)
+        mcode = np.zeros((lut_heads, S, E), np.int32)
+        mcode2 = np.zeros((lut_heads, S, E), np.int32)
+        s = 0
+        for g in range(n_groups):
+            nch = chunks_per_row[g]
+            for c in range(nch):
+                row[s] = g
+                first[s] = 1 if c == 0 else 0
+                last[s] = 1 if c == nch - 1 else 0
+                for h in range(lut_heads):
+                    ents = unions[h][g][c * E:(c + 1) * E]
+                    for i, (kb, ct, cb) in enumerate(ents):
+                        k_idx[h, s, i] = kb
+                        mcode[h, s, i] = ct
+                        mcode2[h, s, i] = cb
+                s += 1
+        return AttnSchedule(row=row, first=first, last=last, k_idx=k_idx,
+                            mcode=mcode, muniq=muniq, E=E, bs=bs,
+                            q_mult=2, mcode2=mcode2)
 
     # step layout shared across heads: rows can differ per head, so pad
     # to the max chunk count per row across heads
@@ -212,6 +286,16 @@ def _gen_mask(mcode_ref, um_ref, h, s, E, bs):
               + (code >= MASK_UNIQ0).astype(jnp.int32) * um)
         cols.append(mi)
     return jnp.concatenate(cols, axis=1)
+
+
+def _gen_mask_qm(qm, mcode_ref, sched2_ref, um_ref, h, s, S, E, bs):
+    """(qm*bs, E*bs) mask: the first row-half's codes from the packed
+    word, the second's from the plain mcode2 SMEM array."""
+    m = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+    if qm == 1:
+        return m
+    m2 = _gen_mask(_Plain2(sched2_ref, S, E), um_ref, h, s, E, bs)
+    return jnp.concatenate([m, m2], axis=0)
 
 
 def _vmem_gather(ref, kidx_ref, h, s, E, bs):
@@ -385,9 +469,10 @@ _MCODE_BITS = 12           # mcode < 4096 (incl. unique-table codes)
 _MCODE_MOD = 1 << _MCODE_BITS
 
 
-def _sched_smem_specs():
-    """Whole-array SMEM spec for the packed (kidx, mcode) schedule."""
-    return [pl.BlockSpec(memory_space=pltpu.SMEM)]
+def _sched_smem_specs(qm=1):
+    """Whole-array SMEM spec(s) for the packed (kidx, mcode) schedule
+    (+ the second-row mcode2 array when q_mult > 1)."""
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 if qm > 1 else 1)
 
 
 class _PackedHi:
@@ -417,9 +502,22 @@ class _PackedLo:
                            _MCODE_MOD)
 
 
+class _Plain2:
+    """mcode2 view: scalar [h, s, i] -> second-codes SMEM ref."""
+
+    __slots__ = ("ref", "S", "E")
+
+    def __init__(self, ref, S, E):
+        self.ref, self.S, self.E = ref, S, E
+
+    def __getitem__(self, idx):
+        h, s, i = idx
+        return self.ref[(h * self.S + s) * self.E + i]
+
+
 def _sched_args(sched: AttnSchedule):
-    """(packed row/first/last prefetch scalar, packed kidx/mcode)
-    operands for a schedule."""
+    """(packed row/first/last prefetch scalar, packed kidx/mcode
+    [, mcode2]) operands for a schedule."""
     row = jnp.asarray(sched.row)
     first = jnp.asarray(sched.first)
     last = jnp.asarray(sched.last)
@@ -431,8 +529,11 @@ def _sched_args(sched: AttnSchedule):
         assert int(sched.mcode.max(initial=0)) < _MCODE_MOD, \
             "mcode exceeds 4095 (too many unique mask blocks)"
     rfl = row * 4 + first * 2 + last
-    return (rfl.astype(jnp.int32),
+    args = (rfl.astype(jnp.int32),
             (kidx * _MCODE_MOD + mcode).astype(jnp.int32))
+    if sched.q_mult > 1:
+        args += (jnp.asarray(sched.mcode2).reshape(-1).astype(jnp.int32),)
+    return args
 
 
 # index-map helpers: signature (bh, s, rfl) with rfl = row*4+first*2+last
@@ -457,8 +558,10 @@ def _rfl_last(rfl_ref, s):
 
 
 def _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s, E, bs, hs,
-                         scale, precision):
-    """Per-part masked score tiles [(bs, E*g)] from a folded K chunk."""
+                         scale, precision, mcode2_ref=None):
+    """Per-part masked score tiles [(qm*bs, E*g)] from a folded K
+    chunk.  mcode2_ref (q_mult=2): second row-half's codes; the mask
+    halves stack on the q-row axis like the q tile does."""
     F = 128 // hs
     g = bs // F
     parts = []
@@ -468,12 +571,18 @@ def _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s, E, bs, hs,
             qp, kfold, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision) * scale
         mf = _gen_mask_part(mcode_ref, um_ref, h, s, E, bs, g, F, f)
+        if mcode2_ref is not None:
+            mf2 = _gen_mask_part(mcode2_ref, um_ref, h, s, E, bs, g, F, f)
+            mf = jnp.concatenate([mf, mf2], axis=0)
         parts.append(jnp.where(mf != 0, sf, _NEG_INF))
     return parts
 
 
 def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
-                 rfl_ref, sched_ref, *refs):
+                 qm, rfl_ref, sched_ref, *refs):
+    sched2_ref = None
+    if qm > 1:
+        sched2_ref, refs = refs[0], refs[1:]
     if stream:
         (q_ref, k_ref, v_ref, um_ref, out_ref,
          acc_ref, m_ref, l_ref, kbuf, vbuf, sems) = refs
@@ -500,8 +609,10 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
         kfold, vfold = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
                                       kidx_ref, h, s, S, bh, E, g)
         vdt = vbuf.dtype
+        mc2 = _Plain2(sched2_ref, S, E) if qm > 1 else None
         s_parts = _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s,
-                                       E, bs, hs, scale, precision)
+                                       E, bs, hs, scale, precision,
+                                       mcode2_ref=mc2)
         m_new = m_prev
         for sf in s_parts:
             m_new = jnp.maximum(m_new, jnp.max(sf, axis=1, keepdims=True))
@@ -523,12 +634,13 @@ def _attn_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream, S,
         scores = jax.lax.dot_general(
             q, kcat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision) * scale
-        mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+        mask = _gen_mask_qm(qm, mcode_ref, sched2_ref, um_ref,
+                            h, s, S, E, bs)
         scores = jnp.where(mask != 0, scores, _NEG_INF)
 
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)                 # (bs, E*bs)
+        p = jnp.exp(scores - m_new)                 # (qm*bs, E*bs)
         l_new = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
         pv = jax.lax.dot_general(
@@ -573,13 +685,15 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
     BH, ctxq, hs = q.shape
     _, ctxk, _ = k.shape
     bs, E = sched.bs, sched.E
+    qm = sched.q_mult
+    bq = bs * qm          # q/out tile height (q_mult pairs rows)
     S = sched.num_steps
     lut_heads = sched.k_idx.shape[0]
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, bq, hs), _row_blk, memory_space=pltpu.VMEM)
     if stream:
         F = _fold_factor(hs)
         k = _stream_fold(k, bs)
@@ -590,15 +704,15 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
         muniq = sched.muniq
         out_w = hs
     uniq_spec = pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM)
-    in_specs = _sched_smem_specs() + [q_spec] \
+    in_specs = _sched_smem_specs(qm) + [q_spec] \
         + _kv_in_specs(ctxk, hs, stream) + [uniq_spec]
-    out_spec = pl.BlockSpec((1, bs, out_w), _row_blk,
+    out_spec = pl.BlockSpec((1, bq, out_w), _row_blk,
                             memory_space=pltpu.VMEM)
 
     scratch = [
-        pltpu.VMEM((bs, out_w), jnp.float32),
-        pltpu.VMEM((bs, 1), jnp.float32),
-        pltpu.VMEM((bs, 1), jnp.float32),
+        pltpu.VMEM((bq, out_w), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
     ]
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
@@ -613,11 +727,11 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
     cost = pl.CostEstimate(
         flops=4 * BH * nblocks * bs * bs * hs,
         bytes_accessed=(q.size + 2 * k.size) * q.dtype.itemsize,
-        transcendentals=BH * S * bs * E * bs,
+        transcendentals=BH * S * bq * E * bs,
     )
     fn = pl.pallas_call(
         functools.partial(_attn_kernel, E, bs, hs, scale, lut_heads, heads,
-                          precision, stream, S),
+                          precision, stream, S, qm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, ctxq, out_w), q.dtype),
         cost_estimate=cost,
@@ -637,7 +751,10 @@ def fused_attention_fwd(q, k, v, sched: AttnSchedule, heads: int,
 # ------------------------------------------------------------------
 
 def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
-                         stream, S, rfl_ref, sched_ref, *refs):
+                         stream, S, qm, rfl_ref, sched_ref, *refs):
+    sched2_ref = None
+    if qm > 1:
+        sched2_ref, refs = refs[0], refs[1:]
     if stream:
         (q_ref, k_ref, v_ref, um_ref, out_ref, lse_ref,
          acc_ref, m_ref, l_ref, kbuf, vbuf, sems) = refs
@@ -664,8 +781,10 @@ def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
         kfold, vfold = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
                                       kidx_ref, h, s, S, bh, E, g)
         vdt = vbuf.dtype
+        mc2 = _Plain2(sched2_ref, S, E) if qm > 1 else None
         s_parts = _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s,
-                                       E, bs, hs, scale, precision)
+                                       E, bs, hs, scale, precision,
+                                       mcode2_ref=mc2)
         m_new = m_prev
         for sf in s_parts:
             m_new = jnp.maximum(m_new, jnp.max(sf, axis=1, keepdims=True))
@@ -687,7 +806,8 @@ def _attn_fwd_lse_kernel(E, bs, hs, scale, lut_heads, heads, precision,
         scores = jax.lax.dot_general(
             q, kcat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision) * scale
-        mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+        mask = _gen_mask_qm(qm, mcode_ref, sched2_ref, um_ref,
+                            h, s, S, E, bs)
         scores = jnp.where(mask != 0, scores, _NEG_INF)
 
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
@@ -715,13 +835,15 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
     BH, ctxq, hs = q.shape
     _, ctxk, _ = k.shape
     bs, E = sched.bs, sched.E
+    qm = sched.q_mult
+    bq = bs * qm
     S = sched.num_steps
     lut_heads = sched.k_idx.shape[0]
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, bq, hs), _row_blk, memory_space=pltpu.VMEM)
     if stream:
         F = _fold_factor(hs)
         k = _stream_fold(k, bs)
@@ -732,16 +854,16 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
         muniq = sched.muniq
         out_w = hs
     uniq_spec = pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM)
-    in_specs = _sched_smem_specs() + [q_spec] \
+    in_specs = _sched_smem_specs(qm) + [q_spec] \
         + _kv_in_specs(ctxk, hs, stream) + [uniq_spec]
     out_specs = (
-        pl.BlockSpec((1, bs, out_w), _row_blk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, out_w), _row_blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, 1), _row_blk, memory_space=pltpu.VMEM),
     )
     scratch = [
-        pltpu.VMEM((bs, out_w), jnp.float32),
-        pltpu.VMEM((bs, 1), jnp.float32),
-        pltpu.VMEM((bs, 1), jnp.float32),
+        pltpu.VMEM((bq, out_w), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
     ]
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
@@ -754,7 +876,7 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
     )
     fn = pl.pallas_call(
         functools.partial(_attn_fwd_lse_kernel, E, bs, hs, scale, lut_heads,
-                          heads, precision, stream, S),
+                          heads, precision, stream, S, qm),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((BH, ctxq, out_w), q.dtype),
@@ -767,7 +889,10 @@ def fused_attention_fwd_lse(q, k, v, sched: AttnSchedule, heads: int,
 
 
 def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
-                    S, rfl_ref, sched_ref, *refs):
+                    S, qm, rfl_ref, sched_ref, *refs):
+    sched2_ref = None
+    if qm > 1:
+        sched2_ref, refs = refs[0], refs[1:]
     if stream:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dq_ref, acc_ref, kbuf, vbuf, sems) = refs
@@ -795,8 +920,10 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
         kfold, vfold = _stream_gather([k_ref, v_ref], [kbuf, vbuf], sems,
                                       kidx_ref, h, s, S, bh, E, g)
         kdt = kbuf.dtype
+        mc2 = _Plain2(sched2_ref, S, E) if qm > 1 else None
         s_parts = _stream_scores_parts(q, kfold, mcode_ref, um_ref, h, s,
-                                       E, bs, hs, scale, precision)
+                                       E, bs, hs, scale, precision,
+                                       mcode2_ref=mc2)
         for f, sf in enumerate(s_parts):
             pf = jnp.exp(sf - lse)                  # (bs, E*g)
             dop = _pad_part(do, f, F)
@@ -816,9 +943,10 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
         scores = jax.lax.dot_general(
             q, kcat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision) * scale
-        mask = _gen_mask(mcode_ref, um_ref, h, s, E, bs)
+        mask = _gen_mask_qm(qm, mcode_ref, sched2_ref, um_ref,
+                            h, s, S, E, bs)
         scores = jnp.where(mask != 0, scores, _NEG_INF)
-        p = jnp.exp(scores - lse)                   # (bs, E*bs)
+        p = jnp.exp(scores - lse)                   # (qm*bs, E*bs)
 
         dp = jax.lax.dot_general(
             do, vcat, (((1,), (1,)), ((), ())),
@@ -953,13 +1081,15 @@ def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,
     BH, ctxq, hs = q.shape
     _, ctxk, _ = k.shape
     bs = sched_nn.bs
+    qm = sched_nn.q_mult
+    bq = bs * qm
     lut_heads = sched_nn.k_idx.shape[0]
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
     E = sched_nn.E
     S = sched_nn.num_steps
-    q_spec = pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, bq, hs), _row_blk, memory_space=pltpu.VMEM)
     if stream:
         F = _fold_factor(hs)
         k = _stream_fold(k, bs)
@@ -970,27 +1100,27 @@ def fused_attention_dq(q, k, v, do, lse, dvec, sched_nn: AttnSchedule,
         muniq = sched_nn.muniq
         out_w = hs
     small = [
-        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # do
-        pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),    # lse
-        pl.BlockSpec((1, bs, 1), _row_blk, memory_space=pltpu.VMEM),    # dvec
+        pl.BlockSpec((1, bq, hs), _row_blk, memory_space=pltpu.VMEM),   # do
+        pl.BlockSpec((1, bq, 1), _row_blk, memory_space=pltpu.VMEM),    # lse
+        pl.BlockSpec((1, bq, 1), _row_blk, memory_space=pltpu.VMEM),    # dvec
         pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM),
     ]
-    in_specs = _sched_smem_specs() + [q_spec] \
+    in_specs = _sched_smem_specs(qm) + [q_spec] \
         + _kv_in_specs(ctxk, hs, stream) + small
-    scratch = [pltpu.VMEM((bs, out_w), jnp.float32)]
+    scratch = [pltpu.VMEM((bq, out_w), jnp.float32)]
     if stream:
         scratch += _kv_stream_scratch(E, bs, hs, k.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, S),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bs, out_w), _row_blk,
+        out_specs=pl.BlockSpec((1, bq, out_w), _row_blk,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
     dq = pl.pallas_call(
         functools.partial(_attn_dq_kernel, E, bs, hs, scale, lut_heads,
-                          heads, precision, stream, S),
+                          heads, precision, stream, S, qm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, ctxq, out_w),
                                        out_dtype or q.dtype),

@@ -57,7 +57,8 @@ class BlocksparseTransformer:
                 "heads": self.heads,
                 "mask_blocks": self._mask_blocks,
                 "name": self.name,
-                "impl": self.impl}
+                "impl": self.impl,
+                "q_mult": self.q_mult}
 
     def __setstate__(self, state):
         mask_blocks = state["mask_blocks"]
@@ -68,13 +69,20 @@ class BlocksparseTransformer:
             def cb(blk_shape, head, qry, key, blk):
                 return np.asarray(mask_blocks[head][blk])
         self.__init__(state["layout"], state["block_size"], state["heads"],
-                      cb, state["name"], state.get("impl"))
+                      cb, state["name"], state.get("impl"),
+                      state.get("q_mult"))
 
     def __init__(self, layout, block_size=64, heads=None, mask_callback=None,
-                 name=None, impl=None):
+                 name=None, impl=None, q_mult=None):
         # impl: None = auto (Pallas kernels on TPU, XLA elsewhere);
         # "pallas" | "xla" force a path for the unfused nt/nn/tn trio.
+        # q_mult: fused-kernel q-row pairing (kernels/bst_attn.py
+        # AttnSchedule.q_mult) — None = auto (pair when the resident
+        # fused path runs and the q row count is even), 1 = never,
+        # 2 = pin pairing.  Amortizes the per-row fixed cost that is
+        # 41% of a sparse row's time (results_attn_breakdown.json).
         self.impl = impl
+        self.q_mult = q_mult
         self._pl_scheds = None
         layout = np.asarray(layout)
         if layout.ndim == 2:
@@ -929,6 +937,13 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
     hs_ = q.shape[-1] // bst.heads
     stream = not _resident_fits(hs_, bst.ctx_blks_k * bst.blk_size,
                                 q.dtype.itemsize)
+    # q-row pairing (auto when the row count is even; see __init__).
+    # Amortizes the per-row fixed cost — 41% of a sparse row's time at
+    # the sp75 config (results_attn_breakdown.json) — over two rows;
+    # applies to both the resident and the stream kernels.
+    qm = bst.q_mult if bst.q_mult is not None else 2
+    pair = (qm == 2 and bst.ctx_blks_q % 2 == 0)
+    sched_nn = bst.attn_schedule_q2 if pair else bst.attn_schedule
 
     @jax.custom_vjp
     def att(q, k, v):
@@ -936,7 +951,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         qf = to_flat(q, bst.ctx_blks_q)
         kf = to_flat(k, bst.ctx_blks_k)
         vf = to_flat(v, bst.ctx_blks_k)
-        yf = bst_attn.fused_attention_fwd(qf, kf, vf, bst.attn_schedule,
+        yf = bst_attn.fused_attention_fwd(qf, kf, vf, sched_nn,
                                           bst.heads, scale, stream=stream)
         return from_flat(yf, batch, bst.ctx_blks_q)
 
@@ -948,7 +963,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         kf = to_flat(k, bst.ctx_blks_k)
         vf = to_flat(v, bst.ctx_blks_k)
         yf, lse = bst_attn.fused_attention_fwd_lse(
-            qf, kf, vf, bst.attn_schedule, bst.heads, scale, stream=stream)
+            qf, kf, vf, sched_nn, bst.heads, scale, stream=stream)
         y = from_flat(yf, batch, bst.ctx_blks_q)
         return y, (q, k, v, yf, lse)
 
@@ -967,7 +982,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         vf = to_flat(v, bst.ctx_blks_k)
         dof = to_flat(dy, bst.ctx_blks_q)
         dqf, dkf, dvf = bst_attn.fused_attention_bwd(
-            qf, kf, vf, yf, lse, dof, bst.attn_schedule,
+            qf, kf, vf, yf, lse, dof, sched_nn,
             bst.attn_schedule_tn, bst.heads, scale, stream=stream)
         return (from_flat(dqf, batch, bst.ctx_blks_q).astype(q.dtype),
                 from_flat(dkf, batch, bst.ctx_blks_k).astype(k.dtype),
@@ -1101,6 +1116,17 @@ def _bst_attn_schedule(self):
     return self._attn_sched_cache
 
 
+def _bst_attn_schedule_q2(self):
+    """Paired (q_mult=2) forward/dq schedule — used by the resident
+    fused path to amortize the per-row fixed cost over two q rows."""
+    from blocksparse_tpu.kernels import bst_attn
+    if getattr(self, "_attn_sched_q2_cache", None) is None:
+        self._attn_sched_q2_cache = bst_attn.build_attn_schedule(
+            self.nn_list, self.ctx_blks_q, self.blk_size,
+            self._mask_blocks, q_mult=2)
+    return self._attn_sched_q2_cache
+
+
 def _bst_attn_schedule_tn(self):
     from blocksparse_tpu.kernels import bst_attn
     if getattr(self, "_attn_sched_tn_cache", None) is None:
@@ -1114,4 +1140,5 @@ BlocksparseTransformer.attention = _bst_attention
 BlocksparseTransformer.decode_step = _bst_decode_step
 BlocksparseTransformer.decode_tables = property(_bst_decode_tables)
 BlocksparseTransformer.attn_schedule = property(_bst_attn_schedule)
+BlocksparseTransformer.attn_schedule_q2 = property(_bst_attn_schedule_q2)
 BlocksparseTransformer.attn_schedule_tn = property(_bst_attn_schedule_tn)

@@ -717,3 +717,75 @@ def test_unfused_trio_fp16():
     yf = bst.nn_op(bst.masked_softmax(bst.nt_op(Qf, Qf), scale=0.25), Qf)
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(yf), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_attention_q_mult_pairing():
+    """q-row pairing (AttnSchedule.q_mult=2): the paired fused path
+    must match the unpaired one bit-for-tolerance on fwd AND flash
+    grads, including per-head layouts with subblock masks and rows
+    whose pair-halves have different k-block sets (union slots hit
+    MASK_ABSENT halves)."""
+    heads, ctx_blks, batch, hs, bsize = 2, 6, 2, 16, 16
+    rng = np.random.RandomState(11)
+    # per-head causal with a different block dropped per head (equal
+    # totals — library constraint) so pair-halves differ across heads
+    lays = []
+    for h in range(heads):
+        lay = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+        if h == 0:
+            lay[3, 0] = 0
+        else:
+            lay[5, 1] = 0
+        lays.append(lay)
+    layout = np.array(lays)
+    ctx = ctx_blks * bsize
+    state = heads * hs
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    K = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    V = rng.uniform(-0.5, 0.5, (batch, ctx, state)).astype(np.float32)
+    DY = rng.uniform(-1, 1, (batch, ctx, state)).astype(np.float32)
+    scale = 0.25
+
+    def run(q_mult):
+        bst = BlocksparseTransformer(layout, block_size=bsize, heads=heads,
+                                     mask_callback=causal_subblock_mask,
+                                     q_mult=q_mult)
+        if q_mult == 2:
+            sched = bst.attn_schedule_q2
+            assert sched.q_mult == 2 and sched.mcode2 is not None
+            # pairing halves the step count (unions fit the same chunks)
+            assert sched.num_steps <= bst.attn_schedule.num_steps
+
+        def loss(q, k, v):
+            y = bst.attention(q, k, v, scale=scale, use_fused=True)
+            return jnp.sum(y * jnp.asarray(DY)), y
+
+        (_, y), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                       has_aux=True)(
+            jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
+        return y, g
+
+    y1, g1 = run(1)
+    y2, g2 = run(2)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-3, atol=1e-5)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_fused_attention_q_mult_odd_rows_falls_back():
+    """Odd q block-row count: auto pairing must fall back to the
+    unpaired schedule (and still match the unfused reference)."""
+    heads, ctx_blks, batch, hs, bsize = 1, 5, 1, 8, 8
+    layout = np.tril(np.ones((ctx_blks, ctx_blks), np.int32))
+    bst = BlocksparseTransformer(layout, block_size=bsize, heads=heads)
+    ctx = ctx_blks * bsize
+    rng = np.random.RandomState(5)
+    Q = rng.uniform(-0.5, 0.5, (batch, ctx, hs)).astype(np.float32)
+    y_f = bst.attention(jnp.asarray(Q), jnp.asarray(Q), jnp.asarray(Q),
+                        scale=0.5, use_fused=True)
+    y_r = bst.attention(jnp.asarray(Q), jnp.asarray(Q), jnp.asarray(Q),
+                        scale=0.5, use_fused=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-3, atol=1e-5)

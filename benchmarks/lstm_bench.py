@@ -113,11 +113,16 @@ def main():
     x_pool = [jnp.asarray(rng2.randint(0, 256, x.shape), jnp.int32)
               for _ in range(reps * 8)]
     jax.block_until_ready(x_pool)
+    pool_i = [0]   # rotate (never exhaust: anchor retries + the
+    # breakdown slopes popped a fixed pool dry, round-5 TPU run);
+    # rotation keeps adjacent calls on distinct inputs, which is all
+    # the tunnel-memoization defense needs
 
     def timed_min(c):
         best = float("inf")
         for _ in range(reps):
-            xi = x_pool.pop()
+            xi = x_pool[pool_i[0] % len(x_pool)]
+            pool_i[0] += 1
             t0 = time.perf_counter()
             float(c(params, state, ema_state, xi, y))
             best = min(best, time.perf_counter() - t0)

@@ -963,7 +963,10 @@ def _attn_dq_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
 
 
 def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
-                     S, rfl_ref, sched_ref, *refs):
+                     S, qm, rfl_ref, sched_ref, *refs):
+    sched2_ref = None
+    if qm > 1:
+        sched2_ref, refs = refs[0], refs[1:]
     if stream:
         (k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, um_ref,
          dk_ref, dv_ref, dk_acc, dv_acc, qbuf, dobuf, sems) = refs
@@ -997,6 +1000,10 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
                 preferred_element_type=jnp.float32,
                 precision=precision) * scale        # (bs_k, E*g)
             m_t_f = _gen_mask_part(mcode_ref, um_ref, h, s, E, bs, g, F, f)
+            if qm > 1:
+                m2 = _gen_mask_part(_Plain2(sched2_ref, S, E), um_ref,
+                                    h, s, E, bs, g, F, f)
+                m_t_f = jnp.concatenate([m_t_f, m2], axis=0)
             s_t_f = jnp.where(m_t_f != 0, s_t_f, _NEG_INF)
             # lse/dvec ride whole-VMEM in part-split (ctx_blks*F, g) form
             lsecat = _row_gather_part(lse_ref, qidx_ref, h, s, E, F, g, f)
@@ -1028,7 +1035,8 @@ def _attn_dkv_kernel(E, bs, hs, scale, lut_heads, heads, precision, stream,
         s_t = jax.lax.dot_general(
             kb, qcat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision) * scale
-        mask_t = _gen_mask(mcode_ref, um_ref, h, s, E, bs)  # (bs_k, E*bs_q)
+        mask_t = _gen_mask_qm(qm, mcode_ref, sched2_ref, um_ref,
+                              h, s, S, E, bs)        # (qm*bs_k, E*bs_q)
         s_t = jnp.where(mask_t != 0, s_t, _NEG_INF)
         p_t = jnp.exp(s_t - lsecat)                 # (bs_k, E*bs_q)
 
@@ -1138,6 +1146,8 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
     BH, ctxq, hs = q.shape
     _, ctxk, _ = k.shape
     bs = sched_tn.bs
+    qm = sched_tn.q_mult          # here: K-row pairing
+    bk = bs * qm
     lut_heads = sched_tn.k_idx.shape[0]
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
@@ -1146,8 +1156,8 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
     S2 = sched_tn.num_steps
     ctx_blks_q = ctxq // bs
     kv_specs = [
-        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # k
-        pl.BlockSpec((1, bs, hs), _row_blk, memory_space=pltpu.VMEM),   # v
+        pl.BlockSpec((1, bk, hs), _row_blk, memory_space=pltpu.VMEM),   # k
+        pl.BlockSpec((1, bk, hs), _row_blk, memory_space=pltpu.VMEM),   # v
     ]
     if stream:
         F = _fold_factor(hs)
@@ -1181,10 +1191,10 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
         pl.BlockSpec(scal_blk, _whole, memory_space=pltpu.VMEM),   # dvec
     ]
     uniq2 = pl.BlockSpec(muniq.shape, _fixed, memory_space=pltpu.VMEM)
-    in_specs2 = _sched_smem_specs() + kv_specs + qdo_specs \
+    in_specs2 = _sched_smem_specs(qm) + kv_specs + qdo_specs \
         + scal_specs + [uniq2]
-    scratch2 = [pltpu.VMEM((bs, out_w), jnp.float32),
-                pltpu.VMEM((bs, out_w), jnp.float32)]
+    scratch2 = [pltpu.VMEM((bk, out_w), jnp.float32),
+                pltpu.VMEM((bk, out_w), jnp.float32)]
     if stream:
         scratch2 += _kv_stream_scratch(E2, bs, hs, q.dtype)
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
@@ -1192,14 +1202,14 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
         grid=(BH, S2),
         in_specs=in_specs2,
         out_specs=(
-            pl.BlockSpec((1, bs, out_w), _row_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, out_w), _row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, out_w), _row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, out_w), _row_blk, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=scratch2,
     )
     dk, dv = pl.pallas_call(
         functools.partial(_attn_dkv_kernel, E2, bs, hs, scale, lut_heads,
-                          heads, precision, stream, S2),
+                          heads, precision, stream, S2, qm),
         grid_spec=grid_spec2,
         out_shape=(jax.ShapeDtypeStruct((BH, ctxk, out_w),
                                         out_dtype or k.dtype),
@@ -1214,14 +1224,17 @@ def fused_attention_dkv(q, k, v, do, lse, dvec, sched_tn: AttnSchedule,
 
 
 def build_attn_schedule_tn(tn_list_per_head, nt_list_per_head, ctx_blks_k,
-                           bs, mask_blocks=None, E=None):
+                           bs, mask_blocks=None, E=None, q_mult=1):
     """Schedule over KEY block-rows for the dk/dv kernel: entries are
     (block_id, q_blk) from the tn LUT; mask codes are classified on the
     TRANSPOSED blocks (tril <-> triu swap; arbitrary blocks get their
-    own transposed unique table)."""
+    own transposed unique table).  q_mult=2 pairs adjacent KEY rows
+    (one (2bs, hs) k/v tile per step — same fixed-cost amortization as
+    the forward's q pairing)."""
     if E is None:
         E = max(1, 512 // bs)
     mask_t = None
     if mask_blocks is not None:
         mask_t = np.transpose(np.asarray(mask_blocks), (0, 1, 3, 2))
-    return build_attn_schedule(tn_list_per_head, ctx_blks_k, bs, mask_t, E=E)
+    return build_attn_schedule(tn_list_per_head, ctx_blks_k, bs, mask_t,
+                               E=E, q_mult=q_mult)

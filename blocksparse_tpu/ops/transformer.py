@@ -76,11 +76,14 @@ class BlocksparseTransformer:
                  name=None, impl=None, q_mult=None):
         # impl: None = auto (Pallas kernels on TPU, XLA elsewhere);
         # "pallas" | "xla" force a path for the unfused nt/nn/tn trio.
-        # q_mult: fused-kernel q-row pairing (kernels/bst_attn.py
-        # AttnSchedule.q_mult) — None = auto (pair when the resident
-        # fused path runs and the q row count is even), 1 = never,
-        # 2 = pin pairing.  Amortizes the per-row fixed cost that is
-        # 41% of a sparse row's time (results_attn_breakdown.json).
+        # q_mult: fused-kernel row pairing (kernels/bst_attn.py
+        # AttnSchedule.q_mult) — None = auto (pair q rows in fwd/dq and
+        # k rows in dkv whenever the respective row count is even; both
+        # resident and stream kernels), 1 = never, 2 = pin.  Amortizes
+        # the per-row fixed cost measured at 41% of a sparse row
+        # (results_attn_breakdown.json) and halves stream DMA chunks:
+        # on-chip 1.45x sparse fwd / 1.60x causal-flash fwd
+        # (results_qpair_ab.json).
         self.impl = impl
         self.q_mult = q_mult
         self._pl_scheds = None
@@ -944,6 +947,7 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
     qm = bst.q_mult if bst.q_mult is not None else 2
     pair = (qm == 2 and bst.ctx_blks_q % 2 == 0)
     sched_nn = bst.attn_schedule_q2 if pair else bst.attn_schedule
+    pair_tn = (qm == 2 and bst.ctx_blks_k % 2 == 0)
 
     @jax.custom_vjp
     def att(q, k, v):
@@ -981,9 +985,11 @@ def _attention_fused(bst, q, k, v, scale, flash_bwd=True):
         kf = to_flat(k, bst.ctx_blks_k)
         vf = to_flat(v, bst.ctx_blks_k)
         dof = to_flat(dy, bst.ctx_blks_q)
+        sched_tn = bst.attn_schedule_tn_q2 if pair_tn \
+            else bst.attn_schedule_tn
         dqf, dkf, dvf = bst_attn.fused_attention_bwd(
             qf, kf, vf, yf, lse, dof, sched_nn,
-            bst.attn_schedule_tn, bst.heads, scale, stream=stream)
+            sched_tn, bst.heads, scale, stream=stream)
         return (from_flat(dqf, batch, bst.ctx_blks_q).astype(q.dtype),
                 from_flat(dkf, batch, bst.ctx_blks_k).astype(k.dtype),
                 from_flat(dvf, batch, bst.ctx_blks_k).astype(v.dtype))
@@ -1136,9 +1142,21 @@ def _bst_attn_schedule_tn(self):
     return self._attn_sched_tn_cache
 
 
+def _bst_attn_schedule_tn_q2(self):
+    """Key-row-paired dk/dv schedule (see attn_schedule_q2)."""
+    from blocksparse_tpu.kernels import bst_attn
+    if getattr(self, "_attn_sched_tn_q2_cache", None) is None:
+        self._attn_sched_tn_q2_cache = bst_attn.build_attn_schedule_tn(
+            self.tn_list, self.nt_list, self.ctx_blks_k, self.blk_size,
+            self._mask_blocks, q_mult=2)
+    return self._attn_sched_tn_q2_cache
+
+
 BlocksparseTransformer.attention = _bst_attention
 BlocksparseTransformer.decode_step = _bst_decode_step
 BlocksparseTransformer.decode_tables = property(_bst_decode_tables)
 BlocksparseTransformer.attn_schedule = property(_bst_attn_schedule)
 BlocksparseTransformer.attn_schedule_q2 = property(_bst_attn_schedule_q2)
 BlocksparseTransformer.attn_schedule_tn = property(_bst_attn_schedule_tn)
+BlocksparseTransformer.attn_schedule_tn_q2 = \
+    property(_bst_attn_schedule_tn_q2)
